@@ -1,0 +1,237 @@
+"""Quantized linear-algebra ops with reference-faithful custom VJPs.
+
+These are the TPU-native equivalents of the reference's CUDA matmul kernels:
+
+  * _cuda_mat_vec_product        (lib/layer_cuda.cu:49-83)    dense fwd
+  * _cuda_mat_mat_trans_product  (lib/layer_cuda.cu:105-172)  attention score,
+                                                              dense_mat fwd
+  * _cuda_mat_trans_mat_product  (lib/layer_cuda.cu:547-635)  weighted sum
+  * _cuda_mat_mat_product_accum  (lib/layer_cuda.cu:1465-...) dense bwd w-del
+  * XNOR-net L1 scale            (lib/layer_cuda.cu:3188-3200)
+
+Forward semantics (f_fixed=true): each operand is fake-quantized in its own
+Q-format, each *product* is re-quantized to the first operand's format
+(CUDA_FIXED_MUL, lib/layer_cuda.h:258), products are accumulated in float,
+and the row sum is re-quantized to the output format.
+
+Backward semantics: the reference never quantizes gradients (EN_GRAD_QUANT
+undefined, MemN2N/define.h:91) — every backward kernel runs in plain float
+on the *raw* stored tensors, not their quantized values (e.g.
+cuda_dense_bwd passes f_fixed=false and uses dev_in_vec / dev_w_mat
+directly, lib/layer_cuda.cu:3266-3284).  That is a straight-through
+estimator **through the whole op**, which is why these are custom_vjp ops
+rather than compositions of STE quantizers (the latter would differentiate
+through the quantized operands instead of the raw ones).
+
+Why the products are requantized elementwise rather than on the MXU: the
+per-product truncation is applied *before* the summation, so the reduction
+cannot be expressed as a single matmul.  XLA fuses the
+broadcast-multiply-quantize-reduce chain into one loop fusion; a Pallas
+kernel (ops/pallas/) provides the tiled VMEM-resident version for the hot
+shapes.
+
+All ops accept arbitrary leading batch dimensions; weight gradients are
+summed over them — matching the reference's per-sample accumulation into
+``w_mat_del`` over a batch (MemN2N/MemN2N.c:1183-1617).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.numerics import QFormat, float_quant
+
+
+def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
+               fmt_prod: QFormat) -> jax.Array:
+    """Per-product quantized multiply: Q(Q(a, fmt_a) * Q(b, fmt_b), fmt_prod).
+    Shapes must already be broadcast-compatible."""
+    return float_quant(float_quant(a, fmt_a) * float_quant(b, fmt_b), fmt_prod)
+
+
+# ---------------------------------------------------------------------------
+# qmatvec: out = W @ x   (dense layer forward, lib/layer_cuda.cu:3163-3210)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
+            quantized: bool = True) -> jax.Array:
+    """Quantized matrix-vector product: out[...,o] = Q(sum_i Q(Q(w)Q(x)))
+
+    w: [O, I]; x: [..., I] -> [..., O].
+
+    quantized=False gives the plain float path (f_fixed=false), used by the
+    float output layer ds_ans (MemN2N/MemN2N.c:766-767,902-906) and
+    attention mode 1.
+
+    When fmt_w is the binary format (iwl+frac==0), the XNOR-net-style scale
+    is applied: the output is multiplied by sum(w)/(O*I).  NB the
+    reference's "_cuda_l1_norm" sums the raw weights (no abs),
+    lib/layer_cuda.cu:1624-1650 — reproduced as-is.
+    """
+    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized)
+
+
+def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized):
+    if not quantized:
+        return jnp.einsum("oi,...i->...o", w, x,
+                          preferred_element_type=jnp.float32)
+    prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
+    out = float_quant(jnp.sum(prod, axis=-1), fmt_w)
+    if fmt_w.is_binary:
+        scale = jnp.sum(w) / jnp.float32(w.shape[0] * w.shape[1])
+        out = out * scale
+    return out
+
+
+def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized):
+    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized), (w, x)
+
+
+def _qmatvec_bwd(fmt_w, fmt_x, quantized, res, g):
+    w, x = res
+    # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
+    #   w_del += g (x)^T ; grad_x = W^T g
+    dw = jnp.einsum("...o,...i->oi", g, x, preferred_element_type=jnp.float32)
+    dx = jnp.einsum("oi,...o->...i", w, g, preferred_element_type=jnp.float32)
+    return dw, dx
+
+
+qmatvec.defvjp(_qmatvec_fwd, _qmatvec_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qembed_mat: M = S @ A^T  (dense_mat forward, lib/layer_cuda.cu:3512-3569)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def qembed_mat(s: jax.Array, a: jax.Array, fmt: QFormat,
+               quantized: bool = True) -> jax.Array:
+    """Memory embedding: s [..., M, I] (bag-of-words rows) x a [D, I]
+    -> [..., M, D], with dense_mat's single Q-format applied to both
+    operands, each product, and the output (cuda_dense_mat_fwd ->
+    _cuda_mat_mat_trans_product, lib/layer_cuda.cu:3512-3569)."""
+    return _qembed_mat_impl(s, a, fmt, quantized)
+
+
+def _qembed_mat_impl(s, a, fmt, quantized):
+    if not quantized:
+        return jnp.einsum("...mi,di->...md", s, a,
+                          preferred_element_type=jnp.float32)
+    prod = _qproducts(s[..., :, None, :], a, fmt, fmt, fmt)  # [...,M,D,I]
+    return float_quant(jnp.sum(prod, axis=-1), fmt)
+
+
+def _qembed_mat_fwd(s, a, fmt, quantized):
+    return _qembed_mat_impl(s, a, fmt, quantized), (s, a)
+
+
+def _qembed_mat_bwd(fmt, quantized, res, g):
+    s, a = res
+    # dense_mat_bwd: A_del += grad^T S in float
+    # (_cuda_mat_trans_mat_product_accum, lib/layer_cuda.cu:637-690)
+    da = jnp.einsum("...md,...mi->di", g, s, preferred_element_type=jnp.float32)
+    ds = jnp.einsum("...md,di->...mi", g, a, preferred_element_type=jnp.float32)
+    return ds, da
+
+
+qembed_mat.defvjp(_qembed_mat_fwd, _qembed_mat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qscore: scores = M @ u  (attention modes 1/2; lib/layer_cuda.cu:2406-2443)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
+           quantized: bool = True) -> jax.Array:
+    """Attention score: m [..., M, D] x u [..., D] -> [..., M].
+
+    Mode 2 (quantized dot, MemN2N/define.h:15 default): per-product requant
+    to fmt_m, output requant to fmt_m (cuda_dot_mat_vec_fwd ->
+    _cuda_mat_mat_trans_product with iwl_out=iwl_m, lib/layer_cuda.cu:2438).
+    Mode 1 (float): quantized=False.
+
+    Padded memory rows are handled by the caller (mask applied before the
+    softmax); the op itself computes every row like the reference computes
+    every live row.
+    """
+    return _qscore_impl(m, u, fmt_m, fmt_u, quantized)
+
+
+def _qscore_impl(m, u, fmt_m, fmt_u, quantized):
+    if not quantized:
+        return jnp.einsum("...md,...d->...m", m, u,
+                          preferred_element_type=jnp.float32)
+    prod = _qproducts(m, u[..., None, :], fmt_m, fmt_u, fmt_m)
+    return float_quant(jnp.sum(prod, axis=-1), fmt_m)
+
+
+def _qscore_fwd(m, u, fmt_m, fmt_u, quantized):
+    return _qscore_impl(m, u, fmt_m, fmt_u, quantized), (m, u)
+
+
+def _qscore_bwd(fmt_m, fmt_u, quantized, res, g):
+    m, u = res
+    # float grads on raw tensors (cuda_dot_mat_vec_bwd non-trans branch,
+    # lib/layer_cuda.cu:2597-2609): grad_M = g (x) u ; grad_u = M^T g
+    dm = g[..., :, None] * u[..., None, :]
+    du = jnp.einsum("...md,...m->...d", m, g, preferred_element_type=jnp.float32)
+    return dm, du
+
+
+qscore.defvjp(_qscore_fwd, _qscore_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qweighted_sum: o = C^T p  (memory read; lib/layer_cuda.cu:2430, :547-635)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def qweighted_sum(c: jax.Array, p: jax.Array, fmt: QFormat,
+                  quantized: bool = True) -> jax.Array:
+    """Weighted memory sum: c [..., M, D] x p [..., M] -> [..., D].
+
+    The reference's f_trans dot_mat_vec: a single Q-format for both
+    operands, per-product and output (cuda_dot_mat_vec_fwd f_trans branch,
+    lib/layer_cuda.cu:2430; kernel :547-635 — note mat_a is the
+    probability vector, so products requant to its format, which equals
+    the layer format)."""
+    return _qweighted_sum_impl(c, p, fmt, quantized)
+
+
+def _qweighted_sum_impl(c, p, fmt, quantized):
+    if not quantized:
+        return jnp.einsum("...md,...m->...d", c, p,
+                          preferred_element_type=jnp.float32)
+    prod = _qproducts(p[..., :, None], c, fmt, fmt, fmt)
+    return float_quant(jnp.sum(prod, axis=-2), fmt)
+
+
+def _qweighted_sum_fwd(c, p, fmt, quantized):
+    return _qweighted_sum_impl(c, p, fmt, quantized), (c, p)
+
+
+def _qweighted_sum_bwd(fmt, quantized, res, g):
+    c, p = res
+    # float grads on raw tensors (cuda_dot_mat_vec_bwd f_trans branch,
+    # lib/layer_cuda.cu:2584-2596): grad_C = p (x) g ; grad_p = C g
+    dc = p[..., :, None] * g[..., None, :]
+    dp = jnp.einsum("...md,...d->...m", c, g, preferred_element_type=jnp.float32)
+    return dc, dp
+
+
+qweighted_sum.defvjp(_qweighted_sum_fwd, _qweighted_sum_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Reference (pure-jnp, no custom grad) implementations for verification —
+# the analog of the reference's CPU<->GPU cross-check (HW_MODE 21).
+# ---------------------------------------------------------------------------
+
+def qmatvec_reference(w, x, fmt_w, fmt_x):
+    prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
+    return float_quant(jnp.sum(prod, axis=-1), fmt_w)

@@ -1,0 +1,339 @@
+"""Op-level tests: quantized linear ops, Hamming attention (fwd + surrogate
+bwd) against independent integer oracles, softmax variants, losses,
+element-wise ops.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.numerics import QFormat, float_quant
+from qmann_tpu.ops import (
+    qmatvec, qembed_mat, qscore, qweighted_sum,
+    hamming_score, binarize, softmax, shift_softmax, apply_softmax,
+    cross_entropy, argmax_last, qsum, activation, maxout,
+)
+from test_numerics import oracle_quant, oracle_encode
+
+
+# ---------------------------------------------------------------------------
+# Quantized linear ops
+# ---------------------------------------------------------------------------
+
+def oracle_qmatvec(w, x, fmt_w, fmt_x):
+    """Per-element oracle of _cuda_mat_vec_product (lib/layer_cuda.cu:49-83)."""
+    O, I = w.shape
+    out = np.zeros(O, np.float32)
+    for o in range(O):
+        s = np.float32(0.0)
+        for i in range(I):
+            wq = oracle_quant(w[o, i], fmt_w.iwl, fmt_w.frac)
+            xq = oracle_quant(x[i], fmt_x.iwl, fmt_x.frac)
+            s += oracle_quant(np.float32(wq * xq), fmt_w.iwl, fmt_w.frac)
+        out[o] = oracle_quant(s, fmt_w.iwl, fmt_w.frac)
+    return out
+
+
+@pytest.mark.parametrize("iwl", [0, 2, 5])
+def test_qmatvec_matches_oracle(rng, iwl):
+    fmt_w = QFormat(iwl, 7 - iwl)
+    fmt_x = QFormat(2, 5)
+    w = rng.normal(0, 2.0, (6, 9)).astype(np.float32)
+    x = rng.normal(0, 2.0, (9,)).astype(np.float32)
+    got = np.asarray(qmatvec(jnp.asarray(w), jnp.asarray(x), fmt_w, fmt_x))
+    want = oracle_qmatvec(w, x, fmt_w, fmt_x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_qmatvec_batched_equals_per_sample(rng):
+    fmt = QFormat(5, 2)
+    w = rng.normal(0, 1.0, (4, 7)).astype(np.float32)
+    x = rng.normal(0, 1.0, (3, 7)).astype(np.float32)
+    batched = np.asarray(qmatvec(jnp.asarray(w), jnp.asarray(x), fmt, fmt))
+    for b in range(3):
+        single = np.asarray(qmatvec(jnp.asarray(w), jnp.asarray(x[b]), fmt, fmt))
+        np.testing.assert_array_equal(batched[b], single)
+
+
+def test_qmatvec_backward_uses_raw_floats(rng):
+    """Backward must be the float linear-map grads on RAW tensors
+    (cuda_dense_bwd with f_fixed=false, lib/layer_cuda.cu:3266-3284),
+    not gradients through the quantized values."""
+    fmt = QFormat(5, 2)
+    w = jnp.asarray(rng.normal(0, 1.0, (4, 7)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.0, (7,)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1.0, (4,)).astype(np.float32))
+
+    def f(w_, x_):
+        return jnp.sum(qmatvec(w_, x_, fmt, fmt) * g)
+
+    dw, dx = jax.grad(f, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(dw), np.outer(g, x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(w).T @ np.asarray(g),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_qmatvec_batched_weight_grad_sums_over_batch(rng):
+    fmt = QFormat(5, 2)
+    w = jnp.asarray(rng.normal(0, 1.0, (4, 7)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.0, (3, 7)).astype(np.float32))
+    dw = jax.grad(lambda w_: jnp.sum(qmatvec(w_, x, fmt, fmt)))(w)
+    want = np.ones((3, 4)).T @ np.asarray(x)  # sum over batch of outer(1, x_b)
+    np.testing.assert_allclose(np.asarray(dw), want, rtol=1e-6)
+
+
+def test_qmatvec_binary_xnor_scale(rng):
+    """Binary weights (iwl+frac==0) trigger the XNOR scale: out *=
+    sum(w)/(O*I) — note raw sum, not abs (lib/layer_cuda.cu:3188-3200,
+    _cuda_l1_norm :1624-1650)."""
+    fmt_w = QFormat(0, 0)
+    fmt_x = QFormat(2, 5)
+    w = np.array([[0.5, -0.25], [1.0, 2.0]], np.float32)
+    x = np.array([1.0, 1.0], np.float32)
+    # binarized w = [[1,-1],[1,1]], xq = [0.99.., 0.99..] -> per-product
+    # quant at (0,0) binarizes products to +/-1!
+    got = np.asarray(qmatvec(jnp.asarray(w), jnp.asarray(x), fmt_w, fmt_x))
+    scale = w.sum() / 4.0
+    # products: Q(+/-1 * 0.99, (0,0)) = +/-1; row sums [0, 2] -> Q((0,0)) ->
+    # [1, 1]  (binarize maps 0 -> +1!)
+    np.testing.assert_allclose(got, np.array([1.0, 1.0]) * scale, rtol=1e-6)
+
+
+def test_qscore_and_weighted_sum_shapes_and_grads(rng):
+    fmt = QFormat(5, 2)
+    m = jnp.asarray(rng.normal(0, 1.0, (2, 5, 4)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1.0, (2, 4)).astype(np.float32))
+    p = jnp.asarray(rng.normal(0, 1.0, (2, 5)).astype(np.float32))
+    s = qscore(m, u, fmt, fmt)
+    assert s.shape == (2, 5)
+    o = qweighted_sum(m, p, fmt)
+    assert o.shape == (2, 4)
+    # grads are the raw-float bilinear grads
+    dm, du = jax.grad(lambda m_, u_: jnp.sum(qscore(m_, u_, fmt, fmt)),
+                      argnums=(0, 1))(m, u)
+    np.testing.assert_allclose(np.asarray(du), np.asarray(m).sum(1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dm), np.broadcast_to(np.asarray(u)[:, None, :], m.shape),
+        rtol=1e-6)
+
+
+def test_qembed_mat_matches_qmatvec_per_row(rng):
+    fmt = QFormat(5, 2)
+    s = rng.integers(0, 3, (4, 9)).astype(np.float32)   # BoW-like counts
+    a = rng.normal(0, 1.0, (6, 9)).astype(np.float32)
+    got = np.asarray(qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt))
+    for r in range(4):
+        row = np.asarray(qmatvec(jnp.asarray(a), jnp.asarray(s[r]), fmt, fmt))
+        np.testing.assert_array_equal(got[r], row)
+
+
+# ---------------------------------------------------------------------------
+# Hamming attention — forward oracle
+# ---------------------------------------------------------------------------
+
+def oracle_preprocess(wa_sign, wa_mag, wb_sign, wb_mag):
+    """lib/layer_cuda.cu:400-420 on (sign, mag) pairs; int32 wrap."""
+    def wrap(v):
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+    mn = min(wa_mag, wb_mag)
+    if wa_sign == wb_sign:
+        na, nb = wa_mag - mn, wb_mag - mn
+    elif wa_mag >= wb_mag:
+        na, nb = wrap(wa_mag + mn), 0
+    else:
+        na, nb = 0, wrap(wb_mag + mn)
+    wa = (na & 0x7FFFFFFF) | (0x80000000 if (wa_sign or (na & 0x80000000)) else 0)
+    wb = (nb & 0x7FFFFFFF) | (0x80000000 if (wb_sign or (nb & 0x80000000)) else 0)
+    return wa & 0xFFFFFFFF, wb & 0xFFFFFFFF
+
+
+def oracle_hamming_sim(wa, wb, num_bit):
+    """lib/layer_cuda.cu:261-296 weighted similarity on 32-bit words."""
+    sim = 0.0
+    for i in range(1, num_bit):
+        if (wa & (0x80000000 >> i)) == (wb & (0x80000000 >> i)):
+            sim += 2.0 ** (-i)
+    if (wa & 0x80000000) != (wb & 0x80000000):
+        sim = -sim
+    return np.float32(sim)
+
+
+def oracle_hamming_score(m, u, iwl, num_bit, const_scale=-3):
+    M, D = m.shape
+    frac = 31 - iwl
+    out = np.zeros(M, np.float32)
+    for i in range(M):
+        s = np.float32(0.0)
+        for j in range(D):
+            sa, ma = oracle_encode(m[i, j], iwl, frac)
+            sb, mb = oracle_encode(u[j], iwl, frac)
+            wa, wb = oracle_preprocess(sa, ma, sb, mb)
+            sim = oracle_hamming_sim(wa, wb, num_bit)
+            term = np.float32(sim * np.float32(2.0 ** const_scale))
+            s += oracle_quant(term, iwl, frac)
+        out[i] = oracle_quant(s, iwl, frac)
+    return out
+
+
+@pytest.mark.parametrize("iwl", [1, 2, 5])
+def test_hamming_score_matches_oracle(rng, iwl):
+    num_bit = 8
+    act_fmt = QFormat(iwl, 7 - iwl)
+    # on-grid activations like the model produces
+    m = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (6, 5)).astype(np.float32)), act_fmt))
+    u = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (5,)).astype(np.float32)), act_fmt))
+    got = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl, num_bit))
+    want = oracle_hamming_score(m, u, iwl, num_bit)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hamming_score_off_grid_floats(rng):
+    iwl = 2
+    m = rng.normal(0, 2.0, (4, 3)).astype(np.float32)
+    u = rng.normal(0, 2.0, (3,)).astype(np.float32)
+    got = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl, 8))
+    want = oracle_hamming_score(m, u, iwl, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Hamming attention — surrogate backward oracle
+# ---------------------------------------------------------------------------
+
+def oracle_hamming_bwd(m, u, g, iwl, num_bit, const_scale=-3):
+    """_cuda_backprop_grad_out_mat (lib/layer_cuda.cu:742-1071) and
+    _cuda_backprop_grad_out_vec (:1076-1462), including the vec kernel's
+    stale-accumulate quirk."""
+    M, D = m.shape
+    frac = 31 - iwl
+    scale = np.float32(2.0 ** const_scale)
+    dm = np.zeros((M, D), np.float32)
+    du = np.zeros(D, np.float32)
+    for i in range(M):
+        for j in range(D):
+            sa, ma = oracle_encode(m[i, j], iwl, frac)
+            sb, mb = oracle_encode(u[j], iwl, frac)
+            sign_m = -1.0 if sa else 1.0
+            sign_u = -1.0 if sb else 1.0
+            wa, wb = oracle_preprocess(sa, ma, sb, mb)
+            tmp_a = np.float32(0.0)
+            tmp_v = np.float32(0.0)
+            grad_appx = np.float32(0.0)
+            for k in range(num_bit):
+                mbit = (wa >> (31 - k)) & 1
+                ubit = (wb >> (31 - k)) & 1
+                diff = np.float32(mbit - ubit)
+                if mbit != ubit:
+                    if k == 0:
+                        tmp_a += diff * sign_m * scale
+                        tmp_v = -diff * sign_u * scale
+                    else:
+                        tmp_a += -diff * sign_u * scale
+                        tmp_v = diff * sign_m * scale
+                grad_appx += tmp_v
+            dm[i, j] = tmp_a * g[i]
+            du[j] += grad_appx * g[i]
+    return dm, du
+
+
+@pytest.mark.parametrize("iwl", [1, 5])
+def test_hamming_surrogate_gradient_matches_oracle(rng, iwl):
+    num_bit = 8
+    act_fmt = QFormat(iwl, 7 - iwl)
+    m = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (5, 4)).astype(np.float32)), act_fmt))
+    u = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (4,)).astype(np.float32)), act_fmt))
+    g = rng.normal(0, 1.0, (5,)).astype(np.float32)
+
+    def f(m_, u_):
+        return jnp.sum(hamming_score(m_, u_, iwl, num_bit) * jnp.asarray(g))
+
+    dm, du = jax.grad(f, argnums=(0, 1))(jnp.asarray(m), jnp.asarray(u))
+    want_dm, want_du = oracle_hamming_bwd(m, u, g, iwl, num_bit)
+    np.testing.assert_allclose(np.asarray(dm), want_dm, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(du), want_du, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Softmax / losses / elementwise
+# ---------------------------------------------------------------------------
+
+def test_masked_softmax_matches_dense_softmax(rng):
+    x = rng.normal(0, 1.0, (2, 6)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]], bool)
+    got = np.asarray(softmax(jnp.asarray(x), jnp.asarray(mask)))
+    for b in range(2):
+        n = mask[b].sum()
+        e = np.exp(x[b, :n] - x[b, :n].max())
+        np.testing.assert_allclose(got[b, :n], e / e.sum(), rtol=1e-6)
+        np.testing.assert_array_equal(got[b, n:], 0.0)
+
+
+def test_shift_softmax_forward_and_07_backward(rng):
+    x = jnp.asarray(rng.normal(0, 1.0, (5,)).astype(np.float32))
+    out = shift_softmax(x, None, 0)
+    e = np.exp(np.asarray(x) - np.asarray(x).max())
+    want = e / np.round(np.log2(e.sum()))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+    # backward: 0.7 * p * (g - sum(p*g))  (lib/layer_cuda.cu:2127)
+    g = rng.normal(0, 1.0, (5,)).astype(np.float32)
+    dx = jax.grad(lambda x_: jnp.sum(shift_softmax(x_, None, 0) * jnp.asarray(g)))(x)
+    p = np.asarray(out)
+    want_dx = 0.7 * p * (g - (p * g).sum())
+    np.testing.assert_allclose(np.asarray(dx), want_dx, rtol=1e-5)
+
+
+def test_linear_start_removes_softmax(rng):
+    x = jnp.asarray(rng.normal(0, 1.0, (4,)).astype(np.float32))
+    mask = jnp.asarray([True, True, False, False])
+    out = apply_softmax(x, mask, remove=True)
+    np.testing.assert_array_equal(np.asarray(out)[:2], np.asarray(x)[:2])
+    np.testing.assert_array_equal(np.asarray(out)[2:], 0.0)
+
+
+def test_argmax_last_tie_break():
+    x = jnp.asarray([[1.0, 3.0, 3.0, 0.0], [5.0, 1.0, 5.0, 5.0]])
+    np.testing.assert_array_equal(np.asarray(argmax_last(x)), [2, 3])
+
+
+def test_cross_entropy_gradient_is_h_minus_y(rng):
+    logits = jnp.asarray(rng.normal(0, 1.0, (3, 5)).astype(np.float32))
+    y = np.zeros((3, 5), np.float32)
+    y[np.arange(3), [1, 0, 4]] = 1.0
+    dlogits = jax.grad(lambda l: cross_entropy(l, jnp.asarray(y)).loss)(logits)
+    h = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(np.asarray(dlogits), h - y, rtol=1e-5)
+    # reported "cost" is -sum(p[y]) (probability, not log)
+    met = cross_entropy(logits, jnp.asarray(y))
+    np.testing.assert_allclose(float(met.cost), -(h * y).sum(), rtol=1e-6)
+
+
+def test_qsum_quantized_forward_passthrough_backward(rng):
+    fmt = QFormat(5, 2)
+    a = jnp.asarray([1.3, -0.9], jnp.float32)
+    b = jnp.asarray([0.4, 0.4], jnp.float32)
+    out = qsum(a, b, fmt)
+    # Q(1.25+0.25)=1.5, Q(-0.75+0.25)=-0.5
+    np.testing.assert_array_equal(np.asarray(out), [1.5, -0.5])
+    da, db = jax.grad(lambda a_, b_: jnp.sum(qsum(a_, b_, fmt) * 3.0),
+                      argnums=(0, 1))(a, b)
+    np.testing.assert_array_equal(np.asarray(da), [3.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(db), [3.0, 3.0])
+
+
+def test_activation_relu_backward_on_output():
+    x = jnp.asarray([-1.0, 2.0], jnp.float32)
+    dx = jax.grad(lambda x_: jnp.sum(activation(x_, "RELU", None, False)))(x)
+    np.testing.assert_array_equal(np.asarray(dx), [0.0, 1.0])
+
+
+def test_binarize_and_maxout():
+    np.testing.assert_array_equal(
+        np.asarray(binarize(jnp.asarray([-0.5, 0.0, 0.5]))), [-1, 1, 1])
+    x = jnp.asarray([[1.0, 5.0, 2.0, 0.0]], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(maxout(x, 2)), [[5.0, 2.0]])
