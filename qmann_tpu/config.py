@@ -1,0 +1,175 @@
+"""Configuration system.
+
+The reference's configuration is a compile-time header (MemN2N/define.h)
+plus four positional CLI arguments (MemN2N/MemN2N.c:211-274) — sweeps
+recompile the binary (MemN2N/run.sh).  Here every knob is a runtime field
+of one dataclass, with the same defaults as the shipped define.h, plus the
+derived per-hop Q-format arrays the reference builds in main()
+(MemN2N/MemN2N.c:679-767).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from qmann_tpu.numerics import QFormat, ROUND_TOWARD_ZERO
+
+# bAbI task list (MemN2N/define.h:326-348); index 21 is the joint task.
+BABI_TASKS = (
+    "qa1_single-supporting-fact",
+    "qa2_two-supporting-facts",
+    "qa3_three-supporting-facts",
+    "qa4_two-arg-relations",
+    "qa5_three-arg-relations",
+    "qa6_yes-no-questions",
+    "qa7_counting",
+    "qa8_lists-sets",
+    "qa9_simple-negation",
+    "qa10_indefinite-knowledge",
+    "qa11_basic-coreference",
+    "qa12_conjunction",
+    "qa13_compound-coreference",
+    "qa14_time-reasoning",
+    "qa15_basic-deduction",
+    "qa16_basic-induction",
+    "qa17_positional-reasoning",
+    "qa18_size-reasoning",
+    "qa19_path-finding",
+    "qa20_agents-motivations",
+    "qa_joint",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class QmannConfig:
+    """All reference knobs (define.h line refs in comments) as one config."""
+
+    # --- quantization (define.h:15-47) ---
+    attention_mode: int = 2          # :15  1 float / 2 quantized / 3 hamming / 4 binary
+    bw_wl: int = 8                   # :21  total word length
+    iwl: int = 5                     # argv[4]; frac = bw_wl - 1 - iwl
+    num_bit_attention: Optional[int] = None  # :24 default BW_WL (via 1+iwl+frac)
+    quant_mode: int = ROUND_TOWARD_ZERO      # :35-47 EN_QUANT_MODE undef -> trunc
+    en_fixed_point: bool = True      # :31
+    en_mq: bool = True               # :79  per-hop mixed precision
+    binary_mode: bool = False        # :88  iwl=frac=0 everywhere
+    attention_const_scale: int = -3  # :67
+    en_grad_quant: bool = False      # :91 (undef)
+
+    # --- model (define.h:150-196, :284-298) ---
+    num_hops: int = 3                # :243-275 per attention mode; 3 for modes 1-3
+    dim_emb: int = 60                # :159
+    max_dict_len: int = 64           # :153
+    max_sen_len: int = 50            # :154
+    dim_forced: bool = False         # :151
+    en_joint: bool = False           # :152
+    en_time: bool = True             # :196 temporal encoding
+    en_pe: bool = False              # :298 position encoding
+    type_weight_tying: int = 2       # :287  1 adjacent / 2 layer-wise (RNN)
+    en_linear_mapping: bool = True   # :291  linear map H between hops
+    en_non_linearity: bool = False   # :294  ReLU between hops
+    en_sc_att: bool = False          # :59   learnable scale before attn softmax
+    en_shift_based_sm: bool = False  # :55
+    en_exp_table_based: bool = False # :315  exp_plan softmax
+    en_cosine_sim: bool = False      # :200
+
+    # --- training (define.h:204-254, :313) ---
+    learning_rate: float = 0.3       # :241/:252
+    rate_decay_step: int = 25        # :240/:251
+    num_itr: int = 100               # :242/:253
+    size_batch: int = 32             # :225
+    lambda_: float = 0.0             # :238/:249
+    en_max_grad_l2_norm: bool = True # :206
+    max_grad_l2_norm: float = 40.0   # :208
+    rand_noise_time: float = 0.0     # :214
+    en_linear_start: bool = False    # :218
+    num_itr_linear_start: int = 5    # :220
+    zeroing_null_weight: bool = True # :313
+    rate_num_valid_sample: float = 0.1  # :193
+    en_sample_shuffled: bool = False    # :172
+    en_save_best_model: bool = False    # :76
+    count_early_stopping: int = 5       # :82
+
+    # --- data (define.h:122-124, :168-172, :322-323) ---
+    data_path: str = "/root/reference/MemN2N/dataset/en_10k_parsed"
+    raw_data_path: str = "/root/reference/MemN2N/dataset/tasks_1-20_v1-2/en-10k"
+    use_raw_babi: bool = False       # parse raw bAbI instead of parsed format
+    num_sample: int = 10000          # :170
+    num_sample_test: int = 1000      # :171
+    en_num_sample_from_file: bool = True  # :168
+    null_char: str = "NULL"          # :232
+    max_word_len: int = 20           # :123
+
+    # --- misc ---
+    seed: int = 0
+    verbose: bool = True             # :302
+
+    def __post_init__(self):
+        if self.binary_mode:
+            object.__setattr__(self, "iwl", 0)
+
+    # ------------------------------------------------------------------
+    # Derived Q-format wiring (MemN2N/MemN2N.c:679-767)
+    # ------------------------------------------------------------------
+
+    @property
+    def frac(self) -> int:
+        """frac = BW_WL - 1 - iwl (MemN2N/MemN2N.c:273-274)."""
+        if self.binary_mode:
+            return 0
+        return self.bw_wl - 1 - self.iwl
+
+    def _fmt(self, iwl: int, frac: int) -> QFormat:
+        return QFormat(iwl, frac, self.quant_mode)
+
+    @property
+    def fmt_act(self) -> Tuple[QFormat, ...]:
+        """Per-hop activation format iwl[]/frac[] — uniform
+        (MemN2N/MemN2N.c:715-722)."""
+        return tuple(self._fmt(self.iwl, self.frac) for _ in range(self.num_hops))
+
+    @property
+    def fmt_w(self) -> Tuple[QFormat, ...]:
+        """Per-hop weight format iwl_w[]/frac_w[]; EN_MQ gives hop 0
+        iwl+1/frac-1 and hop 2 iwl-1/frac+1 (MemN2N/MemN2N.c:748-754)."""
+        fmts = [[self.iwl, self.frac] for _ in range(self.num_hops)]
+        if self.en_mq and not self.binary_mode and self.num_hops >= 3:
+            fmts[0][0] += 1
+            fmts[0][1] -= 1
+            fmts[2][0] -= 1
+            fmts[2][1] += 1
+        return tuple(self._fmt(i, f) for i, f in fmts)
+
+    @property
+    def fmt_att(self) -> Tuple[QFormat, ...]:
+        """Per-hop attention format iwl_att[]/frac_att[] — uniform."""
+        return tuple(self._fmt(self.iwl, self.frac) for _ in range(self.num_hops))
+
+    @property
+    def fmt_bin(self) -> QFormat:
+        """Second operand format of the attention dot (iwl_bin/frac_bin,
+        MemN2N/MemN2N.c:774-780): (0,0) in BINARY_MODE else the base format."""
+        if self.binary_mode:
+            return self._fmt(0, 0)
+        return self._fmt(self.iwl, self.frac)
+
+    @property
+    def fmt_ds_ans(self) -> QFormat:
+        """Output layer nominal format — runs float (MemN2N.c:766-767,
+        902-906) with iwl=8/frac=7."""
+        return self._fmt(8, 7)
+
+    @property
+    def num_bits_attention(self) -> int:
+        """Bits compared by the Hamming attention: the reference passes
+        1+iwl_m+frac_m of the dotmv layer (lib/layer.c:230)."""
+        if self.num_bit_attention is not None:
+            return self.num_bit_attention
+        return 1 + self.iwl + self.frac
+
+    def task_name(self, task_index: int) -> str:
+        """1-based task index -> dataset name (define.h:326-348)."""
+        return BABI_TASKS[task_index - 1]
+
+    def replace(self, **kw) -> "QmannConfig":
+        return dataclasses.replace(self, **kw)
