@@ -1,0 +1,184 @@
+"""Functional MemN2N — the reference's model assembly
+(MemN2N/MemN2N.c:826-912 construction, :1372-1532 forward) re-designed as a
+pure batched JAX function over padded/masked memory.
+
+Weight tying is by construction (shared parameters), replacing the
+reference's per-batch gradient-accumulate + weight-copy dance
+(MemN2N/MemN2N.c:1725-1815).  For the default layer-wise (RNN) tying this
+is exactly equivalent: the reference accumulates every hop's delta into
+hop 0, updates hop 0, then broadcasts hop 0's weights to all hops — i.e.
+one shared matrix updated with the summed gradient, which is what a shared
+parameter gives automatically.
+
+Parameter layout (all float32 master weights — the reference keeps float
+master weights and quantizes inside forward ops only; weight update runs
+f_fixed=false, lib/layer.c:2205-2207):
+
+  tying type 2 (layer-wise, default TYPE_WEIGHT_TYING=2, define.h:287):
+    A [D, I]  shared memory embedding (emb_m[*])
+    C [D, I]  shared output memory embedding (emb_c[*])
+    B [D, I]  query embedding (emb_q)
+    H [D, D]  shared linear map (lin_map[*], EN_LINEAR_MAPPING define.h:291)
+    W [I, D]  output layer (ds_ans; float)
+    scale [K] per-hop scalar before the attention softmax (EN_SC_ATT)
+
+  tying type 1 (adjacent):
+    E [K+1, D, I] embedding chain with A_h = E[h], C_h = E[h+1],
+    B = E[0], W = E[K]^T   (the clean adjacent scheme of the MemN2N
+    paper; the reference's type-1 code path applies the same constraint
+    set via copies, MemN2N/MemN2N.c:1643-1724)
+    H [K, D, D] per-hop linear maps (not tied in type 1)
+    scale [K]
+
+Per-hop Q-format wiring follows MemN2N/MemN2N.c:826-912:
+  emb_q / emb_m / emb_c / lin_map use the hop's weight format fmt_w[h]
+  (EN_MQ gives hop 0 one more integer bit, hop 2 one less);
+  attention uses (fmt_att[h], fmt_bin); weighted sum and residual use
+  fmt_act[h]; the output layer runs float.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.ops import (
+    activation, apply_softmax, attention_score, cross_entropy, qembed_mat,
+    qmatvec, qscore, qsum, qweighted_sum, scale_apply, CEMetrics,
+)
+
+Params = Dict[str, jax.Array]
+
+
+class ForwardResult(NamedTuple):
+    logits: jax.Array            # [B, dim_input]
+    attention: jax.Array         # [K, B, M] per-hop attention probabilities
+    scores: jax.Array            # [K, B, M] per-hop pre-softmax scores
+
+
+def init_params(cfg: QmannConfig, dims, key: jax.Array) -> Params:
+    """Gaussian(0, 0.1) init for every weight matrix (dense_init,
+    lib/layer.c:1738; Box-Muller gaussian_random, lib/common.c:31-48)."""
+    D, I, K = cfg.dim_emb, dims.dim_input, cfg.num_hops
+
+    def g(key, shape):
+        return 0.1 * jax.random.normal(key, shape, jnp.float32)
+
+    keys = jax.random.split(key, 8)
+    params: Params = {}
+    if cfg.type_weight_tying == 1:
+        params["E"] = g(keys[0], (K + 1, D, I))
+        if cfg.en_linear_mapping:
+            params["H"] = g(keys[1], (K, D, D))
+    else:
+        params["A"] = g(keys[0], (D, I))
+        params["C"] = g(keys[1], (D, I))
+        params["B"] = g(keys[2], (D, I))
+        params["W"] = g(keys[3], (I, D))
+        if cfg.en_linear_mapping:
+            params["H"] = g(keys[4], (D, D))
+    if cfg.en_sc_att:
+        # scale layers initialize their scalar to 1.0 (scale_constructor)
+        params["scale"] = jnp.ones((K,), jnp.float32)
+    return params
+
+
+def _hop_weights(params: Params, cfg: QmannConfig, h: int):
+    if cfg.type_weight_tying == 1:
+        a = params["E"][h]
+        c = params["E"][h + 1]
+        hmat = params["H"][h] if cfg.en_linear_mapping else None
+    else:
+        a = params["A"]
+        c = params["C"]
+        hmat = params["H"] if cfg.en_linear_mapping else None
+    return a, c, hmat
+
+
+def _query_weight(params: Params, cfg: QmannConfig):
+    return params["E"][0] if cfg.type_weight_tying == 1 else params["B"]
+
+
+def _output_weight(params: Params, cfg: QmannConfig):
+    if cfg.type_weight_tying == 1:
+        return jnp.swapaxes(params["E"][cfg.num_hops], 0, 1)
+    return params["W"]
+
+
+def forward(params: Params, memory: jax.Array, question: jax.Array,
+            mask: jax.Array, cfg: QmannConfig,
+            remove_softmax: bool = False) -> ForwardResult:
+    """Batched K-hop forward pass (reference per-sample flow,
+    MemN2N/MemN2N.c:1372-1532; SURVEY.md section 3.2).
+
+    memory:   [B, M, dim_input] bag-of-words sentence rows (padded)
+    question: [B, dim_input] bag-of-words query
+    mask:     [B, M] bool validity of memory rows
+    remove_softmax: linear-start mode (MemN2N/MemN2N.c:1080-1099)
+    """
+    q = cfg.en_fixed_point
+    fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
+    mask_f = mask.astype(jnp.float32)
+
+    # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
+    # MemN2N/MemN2N.c:823)
+    u = qmatvec(_query_weight(params, cfg), question,
+                fmt_w[0], fmt_w[0], quantized=q)
+
+    attn, scores_all = [], []
+    for h in range(cfg.num_hops):
+        a_w, c_w, h_w = _hop_weights(params, cfg, h)
+        m = qembed_mat(memory, a_w, fmt_w[h], quantized=q)   # [B, M, D]
+        c = qembed_mat(memory, c_w, fmt_w[h], quantized=q)   # [B, M, D]
+
+        scores = attention_score(
+            m, u, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
+            num_bit=cfg.num_bits_attention,
+            const_scale=cfg.attention_const_scale)            # [B, M]
+        if cfg.en_sc_att and not remove_softmax:
+            scores = scale_apply(params["scale"][h], scores)
+        p = apply_softmax(scores, mask,
+                          shift_based=cfg.en_shift_based_sm,
+                          use_exp_plan=cfg.en_exp_table_based,
+                          remove=remove_softmax)               # [B, M]
+        o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=q)  # [B, D]
+
+        if cfg.en_linear_mapping:
+            # lin_map: dense(D->D) with in fmt_bin / w fmt_w[h]
+            # (MemN2N/MemN2N.c:860)
+            u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin, quantized=q)
+        else:
+            u_mapped = u
+        u = qsum(u_mapped, o, fmt_act[h], quantized=q)         # [B, D]
+        if cfg.en_non_linearity:
+            u = activation(u, "RELU", fmt_act[h], q)
+        attn.append(p)
+        scores_all.append(scores)
+
+    # output layer runs float (MemN2N/MemN2N.c:766-767, 902-906)
+    logits = qmatvec(_output_weight(params, cfg), u,
+                     cfg.fmt_ds_ans, cfg.fmt_ds_ans, quantized=False)
+    return ForwardResult(logits, jnp.stack(attn), jnp.stack(scores_all))
+
+
+def loss_and_metrics(params: Params, memory, question, answer, mask,
+                     sample_mask: Optional[jax.Array], cfg: QmannConfig,
+                     remove_softmax: bool = False):
+    """Total (summed) loss over the valid samples of a batch plus the
+    reference's reported metrics.  sample_mask [B] (1 valid / 0 padding)
+    supports the final partial batch (MemN2N/MemN2N.c:1222-1227)."""
+    out = forward(params, memory, question, mask, cfg, remove_softmax)
+    met: CEMetrics = cross_entropy(out.logits, answer)
+    if sample_mask is None:
+        return met.loss, met
+    logp = jax.nn.log_softmax(out.logits, axis=-1)
+    per_sample = -jnp.sum(answer * logp, axis=-1)
+    loss = jnp.sum(per_sample * sample_mask)
+    probs = jax.lax.stop_gradient(jnp.exp(logp))
+    cost = -jnp.sum(jnp.sum(answer * probs, axis=-1) * sample_mask)
+    hit = jnp.take_along_axis(answer, met.pred[..., None], axis=-1)[..., 0]
+    matches = jnp.sum((hit == 1.0).astype(jnp.float32) * sample_mask)
+    return loss, CEMetrics(loss=loss, cost=cost,
+                           matches=matches.astype(jnp.int32), pred=met.pred)

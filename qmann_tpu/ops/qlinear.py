@@ -190,38 +190,47 @@ qscore.defvjp(_qscore_fwd, _qscore_bwd)
 # qweighted_sum: o = C^T p  (memory read; lib/layer_cuda.cu:2430, :547-635)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def qweighted_sum(c: jax.Array, p: jax.Array, fmt: QFormat,
-                  quantized: bool = True) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def qweighted_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
+                  fmt: QFormat, quantized: bool = True) -> jax.Array:
     """Weighted memory sum: c [..., M, D] x p [..., M] -> [..., D].
 
     The reference's f_trans dot_mat_vec: a single Q-format for both
     operands, per-product and output (cuda_dot_mat_vec_fwd f_trans branch,
     lib/layer_cuda.cu:2430; kernel :547-635 — note mat_a is the
     probability vector, so products requant to its format, which equals
-    the layer format)."""
-    return _qweighted_sum_impl(c, p, fmt, quantized)
+    the layer format).
+
+    row_mask [..., M] float32 (1 live / 0 padded) excludes padded memory
+    rows *after* per-product quantization — required because the binary
+    format quantizes 0 to +1, so padded rows would otherwise contribute
+    (the reference never materializes padded rows).  Pass all-ones when
+    the memory axis is unpadded.
+    """
+    return _qweighted_sum_impl(c, p, row_mask, fmt, quantized)
 
 
-def _qweighted_sum_impl(c, p, fmt, quantized):
+def _qweighted_sum_impl(c, p, row_mask, fmt, quantized):
     if not quantized:
-        return jnp.einsum("...md,...m->...d", c, p,
+        return jnp.einsum("...md,...m->...d", c, p * row_mask,
                           preferred_element_type=jnp.float32)
     prod = _qproducts(p[..., :, None], c, fmt, fmt, fmt)
+    prod = prod * row_mask[..., :, None]
     return float_quant(jnp.sum(prod, axis=-2), fmt)
 
 
-def _qweighted_sum_fwd(c, p, fmt, quantized):
-    return _qweighted_sum_impl(c, p, fmt, quantized), (c, p)
+def _qweighted_sum_fwd(c, p, row_mask, fmt, quantized):
+    return _qweighted_sum_impl(c, p, row_mask, fmt, quantized), (c, p, row_mask)
 
 
 def _qweighted_sum_bwd(fmt, quantized, res, g):
-    c, p = res
+    c, p, row_mask = res
     # float grads on raw tensors (cuda_dot_mat_vec_bwd f_trans branch,
     # lib/layer_cuda.cu:2584-2596): grad_C = p (x) g ; grad_p = C g
-    dc = p[..., :, None] * g[..., None, :]
-    dp = jnp.einsum("...md,...d->...m", c, g, preferred_element_type=jnp.float32)
-    return dc, dp
+    dc = (p * row_mask)[..., :, None] * g[..., None, :]
+    dp = jnp.einsum("...md,...d->...m", c, g,
+                    preferred_element_type=jnp.float32) * row_mask
+    return dc, dp, jnp.zeros_like(row_mask)
 
 
 qweighted_sum.defvjp(_qweighted_sum_fwd, _qweighted_sum_bwd)

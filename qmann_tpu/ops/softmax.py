@@ -36,6 +36,10 @@ def _masked_exp_parts(x, mask):
     if mask is not None:
         e = jnp.where(mask, e, 0.0)
     total = jnp.sum(e, axis=-1, keepdims=True)
+    if mask is not None:
+        # fully-masked rows (all-padding samples in the final partial
+        # batch) would divide 0/0; give them probability 0 everywhere
+        total = jnp.where(total == 0.0, 1.0, total)
     return e, total
 
 
@@ -58,6 +62,10 @@ def shift_softmax(x: jax.Array, mask: Optional[jax.Array], _dummy: int = 0):
 def _shift_softmax_impl(x, mask):
     e, total = _masked_exp_parts(x, mask)
     divisor = jnp.round(jnp.log2(total))  # llrintf = round half-to-even
+    # log2(total<=1) rounds to 0 (and fully-masked rows have total==1 after
+    # the guard): avoid the 0-divisor the same way a zero llrint result
+    # would break the reference — keep those rows finite
+    divisor = jnp.where(divisor == 0.0, 1.0, divisor)
     return e / divisor
 
 

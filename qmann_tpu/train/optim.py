@@ -1,0 +1,121 @@
+"""SGD with the reference's per-matrix gradient clipping and schedule.
+
+Update rule (_cuda_mat_w_up, lib/layer_cuda.cu:1783-1832, invoked with
+f_fixed=false — float master weights, lib/layer.c:2205-2207):
+
+    norm = "L2 norm" of the accumulated batch delta
+    w += lr/batch * delta * min(1, max_norm/norm) + lr * lambda * w
+
+where the reference's norm is NOT the Frobenius norm: _cuda_l2_norm
+(lib/layer_cuda.cu:1596-1622) launches one block per output row and
+atomicAdds each row's L2 norm — the clip threshold is compared against the
+SUM OF PER-ROW L2 NORMS.  Reproduced as-is (it only makes the clip fire
+earlier than a true Frobenius clip would).
+
+Our gradients are the descent form (d total-CE / d w); the reference's
+delta is the ascent form (y-h chain) with w += lr*delta — identical update.
+
+Per-parameter hyperparameters from the reference wiring:
+  * lin_map H: clip threshold max_grad_l2_norm/2 (dense ctor arg,
+    MemN2N/MemN2N.c:860) and learning rate lr*0.1 (the 'test_170409'
+    update, MemN2N/MemN2N.c:1761);
+  * scale: no clipping, divisor batch_size*dim (cuda_scale_w_up,
+    lib/layer_cuda.cu:4857-4900);
+  * everything else: clip threshold max_grad_l2_norm = 40 (define.h:208).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.config import QmannConfig
+
+Params = Dict[str, jax.Array]
+
+
+def rowsum_l2_norm(g: jax.Array) -> jax.Array:
+    """Sum of per-row L2 norms over the last axis (the reference's clip
+    metric, lib/layer_cuda.cu:1596-1622)."""
+    return jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=-1)))
+
+
+def _clip_scale(g: jax.Array, max_norm: float) -> jax.Array:
+    norm = rowsum_l2_norm(g)
+    return jnp.where(norm > max_norm, max_norm / norm, 1.0)
+
+
+def sgd_update(params: Params, grads: Params, lr: jax.Array,
+               batch_size: jax.Array, cfg: QmannConfig) -> Params:
+    """One reference SGD step on the whole parameter pytree.  grads are
+    summed over the batch; batch_size is the live sample count of the
+    batch (the last batch divides by its remainder,
+    MemN2N/MemN2N.c:1222-1227)."""
+    lam = jnp.float32(cfg.lambda_)
+    new: Params = {}
+    for name, w in params.items():
+        g = grads[name]
+        if name == "scale":
+            # per-hop scalar; divisor batch*dim with dim = the score length;
+            # the reference uses the live n_sen — we use the padded memory
+            # length via cfg.max_sen_len is not known here, so the trainer
+            # pre-divides; here plain lr/batch (cfg default has EN_SC_ATT off)
+            new[name] = w - lr / batch_size * g + lr * lam * w
+            continue
+        if name == "H":
+            max_norm = cfg.max_grad_l2_norm / 2.0
+            lr_eff = lr * jnp.float32(0.1)
+        else:
+            max_norm = cfg.max_grad_l2_norm
+            lr_eff = lr
+        if cfg.en_max_grad_l2_norm:
+            if g.ndim == 3:
+                # stacked per-hop instances (type-1 E / H): each matrix was
+                # a separate layer in the reference -> clip per matrix
+                scale = jax.vmap(lambda gi: _clip_scale(gi, max_norm))(g)
+                g = g * scale[:, None, None]
+            else:
+                g = g * _clip_scale(g, max_norm)
+        new[name] = w - lr_eff / batch_size * g + lr_eff * lam * w
+    return new
+
+
+def zero_null_columns(params: Params, cfg: QmannConfig) -> Params:
+    """ZEROING_NULL_WEIGHT (define.h:313): after every batch update the
+    NULL-word (index 0) input column of the memory embedding matrices is
+    zeroed (MemN2N/MemN2N.c:1820-1851 — emb_m and emb_c only, not emb_q
+    or ds_ans)."""
+    if not cfg.zeroing_null_weight:
+        return params
+    out = dict(params)
+    if cfg.type_weight_tying == 1:
+        # emb_m[h] = E[0..K-1], emb_c[h] = E[1..K] -> all chain matrices
+        out["E"] = out["E"].at[:, :, 0].set(0.0)
+    else:
+        out["A"] = out["A"].at[:, 0].set(0.0)
+        out["C"] = out["C"].at[:, 0].set(0.0)
+    return out
+
+
+def lr_schedule(cfg: QmannConfig):
+    """Generator of (epoch, lr, remove_softmax) replicating
+    MemN2N/MemN2N.c:1078-1099: during linear start (first
+    num_itr_linear_start epochs when enabled) the softmax is removed and
+    lr = LR/2; afterwards lr restarts at LR and halves every
+    RATE_DECAY_STEP epochs (counted from the linear-start boundary,
+    excluding the boundary itself)."""
+    nls = cfg.num_itr_linear_start if cfg.en_linear_start else 0
+    lr = cfg.learning_rate
+    was_removed = False
+    for itr in range(cfg.num_itr):
+        if cfg.en_linear_start and itr < nls:
+            yield itr, cfg.learning_rate / 2.0, True
+            was_removed = True
+            continue
+        if was_removed:
+            lr = cfg.learning_rate
+            was_removed = False
+        if (itr - nls) % cfg.rate_decay_step == 0 and itr != nls:
+            lr = lr / 2.0
+        yield itr, lr, False

@@ -1,0 +1,168 @@
+"""Model- and trainer-level tests: shapes, tying equivalence, schedule,
+optimizer semantics, and an end-to-end convergence smoke test on qa1.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.data import load_task, DataDims
+from qmann_tpu.models import memn2n
+from qmann_tpu.train import (
+    lr_schedule, sgd_update, zero_null_columns, rowsum_l2_norm,
+    train_task, eval_split,
+)
+
+PARSED = "/root/reference/MemN2N/dataset/en_10k_parsed"
+
+
+def tiny_cfg(**kw):
+    base = dict(dim_emb=8, num_hops=3, num_itr=2, size_batch=4, verbose=False)
+    base.update(kw)
+    return QmannConfig(**base)
+
+
+def fake_dims(dim_input=20):
+    return DataDims(dim_dict=12, max_line=8, max_word=6, dim_word=7,
+                    dim_input=dim_input)
+
+
+def fake_batch(rng, n=5, m=8, dim_input=20):
+    mem = rng.integers(0, 2, (n, m, dim_input)).astype(np.float32)
+    que = rng.integers(0, 2, (n, dim_input)).astype(np.float32)
+    ans = np.zeros((n, dim_input), np.float32)
+    ans[np.arange(n), rng.integers(1, dim_input, n)] = 1.0
+    n_sen = rng.integers(1, m + 1, n)
+    mask = np.arange(m)[None, :] < n_sen[:, None]
+    mem = mem * mask[:, :, None]
+    return (jnp.asarray(mem), jnp.asarray(que), jnp.asarray(ans),
+            jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3, 4])
+def test_forward_shapes_all_attention_modes(rng, mode):
+    cfg = tiny_cfg(attention_mode=mode)
+    dims = fake_dims()
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    mem, que, ans, mask = fake_batch(rng)
+    out = memn2n.forward(params, mem, que, mask, cfg)
+    assert out.logits.shape == (5, 20)
+    assert out.attention.shape == (3, 5, 8)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # attention over live rows sums to 1, padded rows are exactly 0
+    attn = np.asarray(out.attention)
+    m_np = np.asarray(mask)
+    np.testing.assert_allclose(attn.sum(-1), 1.0, rtol=1e-5)
+    assert (attn[:, ~m_np] == 0).all()
+
+
+def test_forward_adjacent_tying_shapes(rng):
+    cfg = tiny_cfg(type_weight_tying=1)
+    dims = fake_dims()
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    assert params["E"].shape == (4, 8, 20)
+    mem, que, ans, mask = fake_batch(rng)
+    out = memn2n.forward(params, mem, que, mask, cfg)
+    assert out.logits.shape == (5, 20)
+
+
+def test_forward_float_mode_is_standard_memn2n(rng):
+    """en_fixed_point=False + mode 1 must be an ordinary float MemN2N
+    whose logits autodiff cleanly."""
+    cfg = tiny_cfg(attention_mode=1, en_fixed_point=False)
+    dims = fake_dims()
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    mem, que, ans, mask = fake_batch(rng)
+    loss, met = memn2n.loss_and_metrics(params, mem, que, ans, mask, None, cfg)
+    grads = jax.grad(lambda p: memn2n.loss_and_metrics(
+        p, mem, que, ans, mask, None, cfg)[0])(params)
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+
+
+def test_padded_rows_do_not_affect_output(rng):
+    """Garbage in padded memory rows must not change anything (mask
+    correctness), including in binary mode where quant(0) = +1."""
+    for cfg in [tiny_cfg(), tiny_cfg(binary_mode=True)]:
+        dims = fake_dims()
+        params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+        mem, que, ans, mask = fake_batch(rng)
+        out1 = memn2n.forward(params, mem, que, mask, cfg)
+        garbage = jnp.where(mask[:, :, None], mem,
+                            jnp.float32(7.0))  # trash the padded rows
+        out2 = memn2n.forward(params, garbage, que, mask, cfg)
+        np.testing.assert_array_equal(np.asarray(out1.logits),
+                                      np.asarray(out2.logits))
+
+
+def test_lr_schedule_decay_points():
+    cfg = QmannConfig(num_itr=100, rate_decay_step=25, learning_rate=0.3)
+    lrs = {itr: lr for itr, lr, _ in lr_schedule(cfg)}
+    assert lrs[0] == 0.3 and lrs[24] == 0.3
+    assert lrs[25] == 0.15 and lrs[49] == 0.15
+    assert lrs[50] == 0.075 and lrs[75] == 0.0375
+
+
+def test_lr_schedule_linear_start():
+    cfg = QmannConfig(num_itr=40, en_linear_start=True,
+                      num_itr_linear_start=5, rate_decay_step=25,
+                      learning_rate=0.3)
+    sched = list(lr_schedule(cfg))
+    for itr, lr, removed in sched[:5]:
+        assert removed and lr == 0.15
+    itr5 = sched[5]
+    assert itr5[1] == 0.3 and not itr5[2]
+    assert sched[30][1] == 0.15  # decay at itr = nls + 25
+
+
+def test_sgd_clip_uses_rowsum_norm():
+    cfg = QmannConfig(max_grad_l2_norm=2.0)
+    w = {"A": jnp.zeros((3, 4)), "C": jnp.zeros((3, 4)),
+         "B": jnp.zeros((3, 4)), "W": jnp.zeros((4, 3)),
+         "H": jnp.zeros((3, 3))}
+    g = {k: jnp.ones_like(v) for k, v in w.items()}
+    # rowsum norm of ones (3,4) = 3*2 = 6 > 2 -> scale 1/3
+    out = sgd_update(w, g, jnp.float32(1.0), jnp.float32(1.0), cfg)
+    np.testing.assert_allclose(np.asarray(out["A"]), -1.0 / 3.0, rtol=1e-6)
+    # H uses threshold max/2=1 (rowsum=3*sqrt(3)) and lr*0.1
+    want_h = -0.1 * (1.0 / (3 * np.sqrt(3)))
+    np.testing.assert_allclose(np.asarray(out["H"]), want_h, rtol=1e-5)
+    assert float(rowsum_l2_norm(g["A"])) == 6.0
+
+
+def test_zero_null_columns():
+    cfg = QmannConfig()
+    p = {"A": jnp.ones((3, 4)), "C": jnp.ones((3, 4)), "B": jnp.ones((3, 4)),
+         "W": jnp.ones((4, 3)), "H": jnp.ones((3, 3))}
+    out = zero_null_columns(p, cfg)
+    assert (np.asarray(out["A"])[:, 0] == 0).all()
+    assert (np.asarray(out["C"])[:, 0] == 0).all()
+    assert (np.asarray(out["B"])[:, 0] == 1).all()  # emb_q NOT zeroed
+    assert (np.asarray(out["W"]) == 1).all()
+
+
+@pytest.mark.slow
+def test_qa1_convergence_smoke_float():
+    """End-to-end: the float model must essentially solve a qa1 subset in a
+    few epochs (it reaches 100% train accuracy by ~epoch 9)."""
+    cfg = QmannConfig(num_itr=10, verbose=False, attention_mode=1,
+                      en_fixed_point=False)
+    data = load_task("qa1_single-supporting-fact", PARSED,
+                     limit_train=2000, limit_test=200)
+    res = train_task(cfg, data)
+    assert res.history[-1].err_train < 0.1
+    assert res.err_test < 0.5
+
+
+@pytest.mark.slow
+def test_qa1_convergence_smoke_quantized():
+    """Quantized Q5.2 (the run.sh default) learns more slowly — its
+    quantization step is 0.25 — but must clearly beat chance (~5%) within
+    a few epochs."""
+    cfg = QmannConfig(num_itr=6, verbose=False)
+    data = load_task("qa1_single-supporting-fact", PARSED,
+                     limit_train=2000, limit_test=200)
+    res = train_task(cfg, data)
+    assert res.history[-1].err_train < 0.85
+    assert res.history[-1].err_train < res.history[0].err_train

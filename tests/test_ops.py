@@ -107,8 +107,16 @@ def test_qscore_and_weighted_sum_shapes_and_grads(rng):
     p = jnp.asarray(rng.normal(0, 1.0, (2, 5)).astype(np.float32))
     s = qscore(m, u, fmt, fmt)
     assert s.shape == (2, 5)
-    o = qweighted_sum(m, p, fmt)
+    ones = jnp.ones((2, 5), jnp.float32)
+    o = qweighted_sum(m, p, ones, fmt)
     assert o.shape == (2, 4)
+    # masking a row removes exactly its quantized contribution
+    mask = ones.at[0, 4].set(0.0)
+    o_masked = qweighted_sum(m, p, mask, fmt)
+    m_z = m.at[0, 4].set(0.0)
+    p_z = p.at[0, 4].set(0.0)
+    o_want = qweighted_sum(m_z, p_z, ones, fmt)
+    np.testing.assert_array_equal(np.asarray(o_masked), np.asarray(o_want))
     # grads are the raw-float bilinear grads
     dm, du = jax.grad(lambda m_, u_: jnp.sum(qscore(m_, u_, fmt, fmt)),
                       argnums=(0, 1))(m, u)
