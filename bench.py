@@ -1,0 +1,78 @@
+"""Benchmark: quantized MemN2N inference throughput (queries/sec/chip).
+
+Runs the flagship configuration (attention mode 2, Q5.2, 3 hops,
+dim_emb 60) on real qa1 test data at the reference's dimensions and
+measures steady-state batched inference throughput on one chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  Its CUDA
+test loop runs one sample at a time with ~20 sequential kernel launches
+per sample per hop (SURVEY.md section 3.2: dense_mat fwd x2, dot, softmax
+(2 kernels), weighted sum, dense, sum per hop, plus output layers), each
+launch costing ~5-10us — bounding it well below ~20k queries/sec on a
+contemporary GPU.  We take 20,000 q/s as a deliberately generous CUDA
+baseline estimate; vs_baseline = measured / 20000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 20000.0  # estimated reference CUDA throughput (see above)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data import load_task
+    from qmann_tpu.models import memn2n
+    from qmann_tpu.ops import cross_entropy
+
+    cfg = QmannConfig(verbose=False)
+    data = load_task("qa1_single-supporting-fact", cfg.data_path,
+                     raw_path=cfg.raw_data_path)
+    dims = data.dims
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+
+    batch = 1000  # the whole qa1 test split per step
+    test = data.test
+    memory = jnp.asarray(test.memory[:batch])
+    question = jnp.asarray(test.question[:batch])
+    answer = jnp.asarray(test.answer[:batch])
+    mask = jnp.asarray(test.mask[:batch])
+
+    @jax.jit
+    def infer(params, memory, question, answer, mask):
+        out = memn2n.forward(params, memory, question, mask, cfg)
+        met = cross_entropy(out.logits, answer)
+        return met.pred, met.matches
+
+    # warmup / compile
+    pred, _ = infer(params, memory, question, answer, mask)
+    jax.block_until_ready(pred)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred, matches = infer(params, memory, question, answer, mask)
+    jax.block_until_ready(pred)
+    dt = time.perf_counter() - t0
+    qps = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "qa1_test_inference_throughput",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""Command-line driver.
+
+Mirrors the reference CLI (MemN2N/MemN2N.c:211-274):
+
+    python -m qmann_tpu <num_task_loop> <task_start> <task_end> <iwl>
+
+plus runtime flags for every knob that is a compile-time #define in the
+reference (the reference's sweeps recompile the binary; here they are
+plain arguments — MemN2N/run.sh becomes `qmann_tpu.bench.sweep`).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from qmann_tpu.config import QmannConfig, BABI_TASKS
+from qmann_tpu.utils.reporting import (
+    TaskLoopResult, TaskResult, config_banner, write_run_outputs,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="qmann_tpu",
+        description="TPU-native Q-MANN: quantized MemN2N on bAbI")
+    p.add_argument("num_task_loop", type=int, nargs="?", default=1,
+                   help="repeats per task (run.sh uses 10)")
+    p.add_argument("task_start", type=int, nargs="?", default=1)
+    p.add_argument("task_end", type=int, nargs="?", default=1)
+    p.add_argument("iwl", type=int, nargs="?", default=5,
+                   help="integer word length; frac = BW_WL-1-iwl")
+    p.add_argument("--attention-mode", type=int, default=2,
+                   choices=[1, 2, 3, 4])
+    p.add_argument("--bw-wl", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=0.3)
+    p.add_argument("--dim-emb", type=int, default=60)
+    p.add_argument("--hops", type=int, default=3)
+    p.add_argument("--tying", type=int, default=2, choices=[1, 2])
+    p.add_argument("--no-linear-mapping", action="store_true")
+    p.add_argument("--no-fixed-point", action="store_true")
+    p.add_argument("--no-mq", action="store_true")
+    p.add_argument("--binary-mode", action="store_true")
+    p.add_argument("--shift-based-sm", action="store_true")
+    p.add_argument("--linear-start", action="store_true")
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--save-best-model", action="store_true")
+    p.add_argument("--joint", action="store_true",
+                   help="EN_JOINT: train once on qa_joint, test per task")
+    p.add_argument("--data-path",
+                   default="/root/reference/MemN2N/dataset/en_10k_parsed")
+    p.add_argument("--raw-data-path",
+                   default="/root/reference/MemN2N/dataset/"
+                           "tasks_1-20_v1-2/en-10k")
+    p.add_argument("--max-samples", type=int, default=None,
+                   help="limit train samples (smoke runs)")
+    p.add_argument("--max-test-samples", type=int, default=None)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="save trained params + Q-format metadata here")
+    p.add_argument("--profile", action="store_true",
+                   help="print the per-phase time profile")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh spec 'data,model' e.g. '4,2'; default "
+                        "single-device execution")
+    return p
+
+
+def config_from_args(args) -> QmannConfig:
+    return QmannConfig(
+        attention_mode=args.attention_mode,
+        bw_wl=args.bw_wl,
+        iwl=args.iwl,
+        num_itr=args.epochs,
+        size_batch=args.batch_size,
+        learning_rate=args.lr,
+        dim_emb=args.dim_emb,
+        num_hops=args.hops,
+        type_weight_tying=args.tying,
+        en_linear_mapping=not args.no_linear_mapping,
+        en_fixed_point=not args.no_fixed_point,
+        en_mq=not args.no_mq,
+        binary_mode=args.binary_mode,
+        en_shift_based_sm=args.shift_based_sm,
+        en_linear_start=args.linear_start,
+        en_sample_shuffled=args.shuffle,
+        en_save_best_model=args.save_best_model,
+        en_joint=args.joint,
+        data_path=args.data_path,
+        raw_data_path=args.raw_data_path,
+        seed=args.seed,
+        verbose=not args.quiet,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    # deferred imports so --help stays fast
+    from qmann_tpu.data import load_task
+    from qmann_tpu.train import train_task
+    from qmann_tpu.utils.profiling import PhaseProfiler
+
+    print(config_banner(cfg))
+    results = []
+    prof = PhaseProfiler()
+    for task_index in range(args.task_start, args.task_end + 1):
+        task = cfg.task_name(task_index)
+        print(f"< Task {task_index} : {task} >")
+        with prof.phase("data"):
+            data = load_task(
+                task, cfg.data_path, raw_path=cfg.raw_data_path,
+                max_sen_len=cfg.max_sen_len,
+                rate_valid=cfg.rate_num_valid_sample,
+                rand_noise_time=cfg.rand_noise_time,
+                limit_train=args.max_samples,
+                limit_test=args.max_test_samples,
+                train_task_name=("qa_joint" if cfg.en_joint else None),
+            )
+        print(f"    Dim input : {data.dims.dim_input}")
+        print(f"    Dim emb   : {cfg.dim_emb}")
+        print(f"    Samples   : train {len(data.train)}, "
+              f"valid {len(data.valid)}, test {len(data.test)}")
+
+        loops = []
+        for loop in range(args.num_task_loop):
+            loop_cfg = cfg.replace(seed=cfg.seed + loop)
+            with prof.phase("train"):
+                res = train_task(loop_cfg, data)
+            loops.append(TaskLoopResult(
+                time_train=res.time_train,
+                err_train=res.history[-1].err_train if res.history else 1.0,
+                time_test=res.time_test,
+                err_test=res.err_test))
+            print(f"  loop {loop}: err_test {res.err_test:f} "
+                  f"(train {res.time_train:.1f}s, test {res.time_test:.3f}s)")
+            if args.checkpoint_dir:
+                from qmann_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(args.checkpoint_dir, res.params, loop_cfg,
+                                data.dims, tag=f"{task}_loop{loop}")
+        results.append(TaskResult(task_index, loops))
+        errs = [l.err_test for l in loops]
+        print(f"  task {task_index} err_test avg/max/min: "
+              f"{np.mean(errs):f}/{np.max(errs):f}/{np.min(errs):f}")
+
+    write_run_outputs(args.out_dir, cfg, results)
+    if args.profile:
+        print(prof.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -236,6 +236,30 @@ def _qweighted_sum_bwd(fmt, quantized, res, g):
 qweighted_sum.defvjp(_qweighted_sum_fwd, _qweighted_sum_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def qweighted_partial_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
+                          fmt: QFormat, quantized: bool = True) -> jax.Array:
+    """qweighted_sum WITHOUT the final output re-quantization — the local
+    building block for memory-bank-sharded execution: each device sums its
+    shard's quantized products (exact on the 2^-frac grid), the shards are
+    psum'd across ICI, and the single output quantization is applied
+    globally (parallel/distributed.py).  Same raw-float backward as
+    qweighted_sum."""
+    if not quantized:
+        return jnp.einsum("...md,...m->...d", c, p * row_mask,
+                          preferred_element_type=jnp.float32)
+    prod = _qproducts(p[..., :, None], c, fmt, fmt, fmt)
+    prod = prod * row_mask[..., :, None]
+    return jnp.sum(prod, axis=-2)
+
+
+def _qwps_fwd(c, p, row_mask, fmt, quantized):
+    return qweighted_partial_sum(c, p, row_mask, fmt, quantized), (c, p, row_mask)
+
+
+qweighted_partial_sum.defvjp(_qwps_fwd, _qweighted_sum_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Reference (pure-jnp, no custom grad) implementations for verification —
 # the analog of the reference's CPU<->GPU cross-check (HW_MODE 21).

@@ -1,0 +1,90 @@
+"""Explicit-collective memory-bank sharding (shard_map + psum).
+
+The GSPMD path (parallel/sharding.py) lets XLA derive the collectives
+from annotations.  This module is the hand-written equivalent for the
+attention read — blockwise attention over memory shards with psum'd
+softmax statistics, the long-context/sequence-parallel analog the north
+star asks for (SURVEY.md sections 2.6, 5):
+
+  each device holds a shard of the memory sentences [B, M/s, ...];
+  1. local attention scores against the replicated query;
+  2. global max via psum-of-onehot-free pmax, global exp-sum via psum
+     (the two softmax statistics — one scalar pair per row crosses ICI);
+  3. local quantized weighted-sum partials, psum'd and re-quantized.
+
+The final re-quantization AFTER the psum preserves the reference's exact
+semantics: quantized products live on the 2^-frac grid so their
+distributed sum is exact regardless of reduction order, and the single
+output quantization (lib/layer_cuda.cu:573) is applied once globally.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.numerics import quantize_ste
+from qmann_tpu.ops.attention import attention_score
+from qmann_tpu.ops.qlinear import qweighted_partial_sum
+from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+_NEG_LARGE = jnp.float32(-1e30)
+
+
+def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
+                          axis: str):
+    """Per-shard attention read; runs inside shard_map."""
+    fmt_att = cfg.fmt_att[hop]
+    fmt_act = cfg.fmt_act[hop]
+    scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
+                               cfg.fmt_bin, num_bit=cfg.num_bits_attention,
+                               const_scale=cfg.attention_const_scale)
+    scores_l = jnp.where(mask_l, scores_l, _NEG_LARGE)
+
+    # distributed softmax statistics: one max + one sum per row over ICI.
+    # stop_gradient goes on pmax's INPUT: the max subtraction cancels in
+    # the softmax gradient (and pmax has no differentiation rule).
+    local_max = jax.lax.stop_gradient(jnp.max(scores_l, axis=-1))
+    gmax = jax.lax.pmax(local_max, axis)
+    e = jnp.exp(scores_l - gmax[..., None])
+    e = jnp.where(mask_l, e, 0.0)
+    total = jax.lax.psum(jnp.sum(e, axis=-1), axis)
+    total = jnp.where(total == 0.0, 1.0, total)
+    p_l = e / total[..., None]
+
+    # quantized weighted sum: local partials on the exact 2^-frac grid,
+    # psum, single global output re-quantization (straight-through grad —
+    # the reference backward never quantizes, lib/layer.c:551-555)
+    partial = qweighted_partial_sum(c_l, p_l,
+                                    mask_l.astype(jnp.float32), fmt_act,
+                                    cfg.en_fixed_point)
+    o = jax.lax.psum(partial, axis)
+    if cfg.en_fixed_point:
+        o = quantize_ste(o, fmt_act)
+    return o, p_l
+
+
+def memory_sharded_attention_read(mesh: Mesh, m, c, u, mask,
+                                  cfg: QmannConfig, hop: int = 0):
+    """Attention read with the memory axis sharded over the 'model' mesh
+    axis and the batch over 'data'.  m, c: [B, M, D]; u: [B, D];
+    mask: [B, M] -> (o [B, D], p [B, M])."""
+
+    fn = functools.partial(_attention_read_local, cfg=cfg, hop=hop,
+                           axis=MODEL_AXIS)
+    mapped = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, MODEL_AXIS, None),
+                  P(DATA_AXIS, MODEL_AXIS, None),
+                  P(DATA_AXIS, None),
+                  P(DATA_AXIS, MODEL_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, MODEL_AXIS)),
+        # the transpose (backward) of the psum'd output cannot be proven
+        # replicated by the static checker; the collectives are correct
+        check_vma=False)
+    return mapped(m, c, u, mask)

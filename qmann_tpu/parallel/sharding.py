@@ -1,0 +1,105 @@
+"""GSPMD sharding rules and the sharded training step.
+
+Design (the "How to Scale Your Model" recipe: pick a mesh, annotate
+shardings, let XLA insert the collectives):
+
+  batch tensors  [B, ...]        -> P("data", ...)        (DP, DCN-friendly)
+  memory         [B, M, I]       -> P("data", "model", -) (memory-bank
+        sharding: attention scores/softmax over the sharded M axis compile
+        to distributed max/sum — the sequence/context-parallel analog)
+  output layer W [I, D]          -> P("model", None)      (vocab TP: the
+        logits and the CE log-softmax reduce over the sharded vocab)
+  memory embeddings A/C/B [D, I] -> replicated (60x~114 floats — far below
+        the cost of gathering activations; sharding them would turn every
+        BoW lookup into an all-gather)
+  H [D, D], scale                -> replicated
+
+The per-batch SGD update runs inside the same jitted program, so weight
+gradients are all-reduced by XLA across the data axis exactly once per
+step, overlapping with backprop where profitable.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.models import memn2n
+from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from qmann_tpu.train.optim import sgd_update, zero_null_columns
+
+Params = Dict[str, jax.Array]
+
+
+def param_shardings(mesh: Mesh, params: Params) -> Dict[str, NamedSharding]:
+    specs = {}
+    for name, v in params.items():
+        if name == "W":
+            specs[name] = NamedSharding(mesh, P(MODEL_AXIS, None))
+        elif name == "E" and v.ndim == 3:
+            specs[name] = NamedSharding(mesh, P(None, None, None))
+        else:
+            specs[name] = NamedSharding(mesh, P(*([None] * v.ndim)))
+    return specs
+
+
+def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    return {
+        "memory": NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None)),
+        "question": NamedSharding(mesh, P(DATA_AXIS, None)),
+        "answer": NamedSharding(mesh, P(DATA_AXIS, None)),
+        "mask": NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)),
+        "sample_mask": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+
+
+def shard_params(mesh: Mesh, params: Params) -> Params:
+    return {k: jax.device_put(v, s)
+            for (k, v), s in zip(params.items(),
+                                 param_shardings(mesh, params).values())}
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    shardings = batch_shardings(mesh)
+    return {k: jax.device_put(jnp.asarray(v), shardings[k])
+            if k in shardings else jnp.asarray(v)
+            for k, v in batch.items()}
+
+
+def make_sharded_train_step(cfg: QmannConfig, mesh: Mesh):
+    """One SGD step, jit-compiled with the sharding annotations above.
+    XLA partitions the softmax over the sharded memory axis (distributed
+    max + sum), the vocab-sharded output layer/CE, and all-reduces the
+    weight gradients over the data axis."""
+
+    @functools.partial(jax.jit,
+                       static_argnames=("remove_softmax",),
+                       donate_argnums=(0,))
+    def step(params, batch, lr, size_b, remove_softmax=False):
+        def loss_fn(p):
+            loss, met = memn2n.loss_and_metrics(
+                p, batch["memory"], batch["question"], batch["answer"],
+                batch["mask"], batch["sample_mask"], cfg, remove_softmax)
+            return loss, met
+
+        grads, met = jax.grad(loss_fn, has_aux=True)(params)
+        params = sgd_update(params, grads, lr, size_b, cfg)
+        params = zero_null_columns(params, cfg)
+        return params, met.cost, met.matches
+
+    return step
+
+
+def make_sharded_eval_step(cfg: QmannConfig, mesh: Mesh):
+    @jax.jit
+    def eval_step(params, memory, question, answer, mask):
+        out = memn2n.forward(params, memory, question, mask, cfg)
+        from qmann_tpu.ops import cross_entropy
+        met = cross_entropy(out.logits, answer)
+        return met.cost, met.matches
+
+    return eval_step

@@ -1,0 +1,143 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the sharded
+training step must match the single-device step, and the explicit
+shard_map memory-sharded attention must match the dense computation.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.data import DataDims
+from qmann_tpu.models import memn2n
+from qmann_tpu.parallel import (
+    make_mesh, make_sharded_train_step, memory_sharded_attention_read,
+    shard_batch, shard_params,
+)
+from qmann_tpu.ops import qweighted_sum, qscore, softmax
+from qmann_tpu.train.optim import sgd_update, zero_null_columns
+
+
+def _requires_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def make_case(rng, n=8, m=8, dim_input=24, dim_emb=16, hops=3):
+    cfg = QmannConfig(dim_emb=dim_emb, num_hops=hops, verbose=False)
+    dims = DataDims(dim_dict=dim_input - m, max_line=m, max_word=6,
+                    dim_word=7, dim_input=dim_input)
+    mem = rng.integers(0, 2, (n, m, dim_input)).astype(np.float32)
+    que = rng.integers(0, 2, (n, dim_input)).astype(np.float32)
+    ans = np.zeros((n, dim_input), np.float32)
+    ans[np.arange(n), rng.integers(1, dim_input, n)] = 1.0
+    n_sen = rng.integers(1, m + 1, n)
+    mask = np.arange(m)[None, :] < n_sen[:, None]
+    mem = mem * mask[:, :, None]
+    batch = {
+        "memory": mem, "question": que, "answer": ans, "mask": mask,
+        "sample_mask": np.ones(n, np.float32),
+    }
+    return cfg, dims, batch
+
+
+def test_mesh_axes():
+    _requires_8_devices()
+    mesh = make_mesh(8)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
+    mesh2 = make_mesh(8, model_parallelism=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    _requires_8_devices()
+    cfg, dims, batch = make_case(rng)
+    mesh = make_mesh(8, model_parallelism=4)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+
+    # single-device reference step
+    def ref_step(p):
+        def loss_fn(p_):
+            loss, met = memn2n.loss_and_metrics(
+                p_, jnp.asarray(batch["memory"]),
+                jnp.asarray(batch["question"]), jnp.asarray(batch["answer"]),
+                jnp.asarray(batch["mask"]), jnp.asarray(batch["sample_mask"]),
+                cfg, False)
+            return loss, met
+        grads, met = jax.grad(loss_fn, has_aux=True)(p)
+        p = sgd_update(p, grads, jnp.float32(0.3), jnp.float32(8.0), cfg)
+        return zero_null_columns(p, cfg), met
+
+    ref_params, ref_met = ref_step(dict(params))
+
+    step = make_sharded_train_step(cfg, mesh)
+    sp = shard_params(mesh, dict(params))
+    sb = shard_batch(mesh, batch)
+    out_params, cost, matches = step(sp, sb, jnp.float32(0.3),
+                                     jnp.float32(8.0))
+    for k in ref_params:
+        np.testing.assert_allclose(np.asarray(out_params[k]),
+                                   np.asarray(ref_params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+    np.testing.assert_allclose(float(cost), float(ref_met.cost), rtol=1e-4)
+    assert int(matches) == int(ref_met.matches)
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+def test_memory_sharded_attention_matches_dense(rng, quantized):
+    _requires_8_devices()
+    mesh = make_mesh(8, model_parallelism=4)
+    cfg = QmannConfig(dim_emb=16, verbose=False,
+                      en_fixed_point=quantized,
+                      attention_mode=2 if quantized else 1)
+    B, M, D = 4, 8, 16
+    fmt = cfg.fmt_act[0]
+    m = rng.normal(0, 1.0, (B, M, D)).astype(np.float32)
+    c = rng.normal(0, 1.0, (B, M, D)).astype(np.float32)
+    u = rng.normal(0, 1.0, (B, D)).astype(np.float32)
+    n_sen = rng.integers(2, M + 1, B)
+    mask = np.arange(M)[None, :] < n_sen[:, None]
+
+    o, p = memory_sharded_attention_read(
+        mesh, jnp.asarray(m), jnp.asarray(c), jnp.asarray(u),
+        jnp.asarray(mask), cfg)
+
+    # dense reference
+    scores = qscore(jnp.asarray(m), jnp.asarray(u), cfg.fmt_att[0],
+                    cfg.fmt_bin, quantized=quantized)
+    p_ref = softmax(scores, jnp.asarray(mask))
+    o_ref = qweighted_sum(jnp.asarray(c), p_ref,
+                          jnp.asarray(mask, jnp.float32).astype(jnp.float32),
+                          fmt, quantized=quantized)
+
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-5, atol=1e-6)
+    if quantized:
+        # quantized outputs live on the 2^-frac grid; distributed and dense
+        # results may differ by at most one grid step at exp-sum boundaries
+        step_sz = 2.0 ** (-fmt.frac)
+        assert np.max(np.abs(np.asarray(o) - np.asarray(o_ref))) <= step_sz
+    else:
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_attention_gradients_flow(rng):
+    _requires_8_devices()
+    mesh = make_mesh(8, model_parallelism=4)
+    cfg = QmannConfig(dim_emb=16, verbose=False)
+    B, M, D = 4, 8, 16
+    m = jnp.asarray(rng.normal(0, 1.0, (B, M, D)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 1.0, (B, M, D)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1.0, (B, D)).astype(np.float32))
+    mask = jnp.ones((B, M), bool)
+
+    def f(c_, u_):
+        o, _ = memory_sharded_attention_read(mesh, m, c_, u_, mask, cfg)
+        return jnp.sum(o)
+
+    dc, du = jax.grad(f, argnums=(0, 1))(c, u)
+    assert np.isfinite(np.asarray(dc)).all()
+    assert np.isfinite(np.asarray(du)).all()
+    assert np.abs(np.asarray(dc)).sum() > 0
