@@ -125,7 +125,7 @@ def float_quant(x: jax.Array, fmt: QFormat) -> jax.Array:
     """
     x = jnp.asarray(x, jnp.float32)
     if fmt.is_binary:
-        return jnp.where(x >= 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+        return jnp.where(x >= 0.0, np.float32(1.0), np.float32(-1.0))
     maxf = fixed_max_float(fmt.iwl, fmt.frac)
     minf = fixed_min_float(fmt.iwl, fmt.frac)
     # scale by an exact power of two; multiply is exact in f32
@@ -141,7 +141,7 @@ def float_quant(x: jax.Array, fmt: QFormat) -> jax.Array:
         # INT_MIN, whose two's-complement magnitude (~v+1, lib/layer_cuda.h:246)
         # wraps to 0 -> the value quantizes to -0.0.  (Positive 2^iwl instead
         # saturates to 2^31-1 via cvt.rzi.s32.f32 and decodes back to 2^iwl.)
-        deq = jnp.where(scaled <= -_INT32_SAT_F32, jnp.float32(0.0), deq)
+        deq = jnp.where(scaled <= -_INT32_SAT_F32, np.float32(0.0), deq)
     # saturation checks happen on the *pre-conversion* float value
     # (lib/layer_cuda.h:230-233): (x > max) -> max_fixed, (x < min) -> min_fixed
     return jnp.where(x > maxf, maxf, jnp.where(x < minf, minf, deq))
@@ -189,7 +189,7 @@ def encode_sign_magnitude(x: jax.Array, fmt: QFormat) -> tuple[jax.Array, jax.Ar
     absx = jnp.abs(x)
     # saturation: |x| > max  -> 2^(iwl+frac)-1 ... but also the int-cast at
     # exactly |x| == max with iwl+frac==31 saturates (conv(2^31) -> 2^31-1).
-    sat_fixed = jnp.int32((1 << (iwl + frac)) - 1) if iwl + frac < 31 else jnp.int32(2**31 - 1)
+    sat_fixed = np.int32((1 << (iwl + frac)) - 1) if iwl + frac < 31 else np.int32(2**31 - 1)
     absx_c = jnp.minimum(absx, maxf)
 
     # magnitude via mode-aware conversion.  The reference computes
@@ -230,7 +230,7 @@ def encode_sign_magnitude(x: jax.Array, fmt: QFormat) -> tuple[jax.Array, jax.Ar
             # (2^15 << 16) to INT_MIN; mask/patch both signs explicitly.
             reach31 = hi >= np.float32(32768.0)
             mag = jnp.where(reach31,
-                            jnp.where(sign > 0, jnp.int32(0), jnp.int32(2**31 - 1)),
+                            jnp.where(sign > 0, np.int32(0), np.int32(2**31 - 1)),
                             mag)
 
     # float-compare saturation branch: strictly |x| > max -> all-ones

@@ -44,7 +44,7 @@ import numpy as np
 
 from qmann_tpu.numerics import QFormat, float_quant, encode_sign_magnitude
 
-INT32_SIGN_BIT = jnp.int32(-(2 ** 31))  # 0x80000000 as int32
+INT32_SIGN_BIT = np.int32(-(2 ** 31))  # 0x80000000 as int32 (plain numpy scalar: jnp constants cannot be captured inside Pallas kernels)
 
 # ATTENTION_CONST_SCALE (MemN2N/define.h:67)
 DEFAULT_CONST_SCALE = -3
@@ -62,8 +62,8 @@ def _common_mode_preprocess(wm: jax.Array, wu: jax.Array):
     int32 additions wrap exactly like the C code's."""
     sm_bit = wm & INT32_SIGN_BIT
     su_bit = wu & INT32_SIGN_BIT
-    mm = wm & jnp.int32(0x7FFFFFFF)
-    mu = wu & jnp.int32(0x7FFFFFFF)
+    mm = wm & np.int32(0x7FFFFFFF)
+    mu = wu & np.int32(0x7FFFFFFF)
     mn = jnp.minimum(mm, mu)
     same = sm_bit == su_bit
     m_ge = mm >= mu

@@ -1,0 +1,229 @@
+"""Pallas TPU kernels for the hot quantized ops.
+
+The reference's hot loop is the per-sample forward/backward with ~40 CUDA
+kernel launches per sample (SURVEY.md section 3.1).  The XLA path already
+fuses the per-product-quantized contractions into loop fusions; these
+Pallas kernels additionally guarantee VMEM residency of the whole
+product lattice and fuse the attention-read chain
+(embed -> score -> softmax -> weighted sum) into a single program, so
+the [B,M,D]-sized intermediates never round-trip HBM.
+
+All kernels reproduce the reference semantics bit-for-bit for quantized
+values: per-product re-quantization to the first operand's format, float
+accumulation, and output re-quantization (lib/layer_cuda.cu:49-172); the
+Hamming kernel matches _cuda_approximate_attention (:355-541).  Because
+quantized products lie on the 2^-frac grid, the in-kernel reduction order
+is irrelevant (sums are exact in f32), so the Pallas and jnp paths agree
+exactly — checked by tests/test_pallas.py.
+
+Grid strategy: one program per batch tile; the feature dims (I <= ~192,
+O/D <= ~128, M <= 64) stay whole inside VMEM.  Batch tiles of 8 keep the
+largest scratch (the [TB, O, I] product lattice) under ~1 MB.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qmann_tpu.numerics import QFormat, float_quant
+from qmann_tpu.ops.attention import (
+    INT32_SIGN_BIT, _bit, _common_mode_preprocess, _encode_words,
+)
+
+DEFAULT_BATCH_TILE = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Quantized mat-vec:  out[b, o] = Q(sum_i Q(Q(w[o,i]) * Q(x[b,i])))
+# ---------------------------------------------------------------------------
+
+def _qmatvec_kernel(w_ref, x_ref, out_ref, *, fmt_w: QFormat, fmt_x: QFormat):
+    wq = float_quant(w_ref[:], fmt_w)                 # [O, I]
+    xq = float_quant(x_ref[:], fmt_x)                 # [TB, I]
+    prod = float_quant(xq[:, None, :] * wq[None, :, :], fmt_w)  # [TB, O, I]
+    out_ref[:] = float_quant(jnp.sum(prod, axis=-1), fmt_w)
+
+
+def qmatvec_pallas(w: jax.Array, x: jax.Array, fmt_w: QFormat,
+                   fmt_x: QFormat, batch_tile: int = DEFAULT_BATCH_TILE,
+                   interpret: bool = False) -> jax.Array:
+    """Pallas forward of ops.qlinear.qmatvec (quantized path, without the
+    XNOR binary scale — the caller applies it).  x: [B, I], w: [O, I]."""
+    B, I = x.shape
+    O = w.shape[0]
+    tb = min(batch_tile, B)
+    nb = _cdiv(B, tb)
+    pad = nb * tb - B
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, I), x.dtype)])
+    out = pl.pallas_call(
+        functools.partial(_qmatvec_kernel, fmt_w=fmt_w, fmt_x=fmt_x),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((O, I), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, I), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * tb, O), jnp.float32),
+        interpret=interpret,
+    )(w, x)
+    return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Hamming-similarity attention scores (mode 3 forward)
+# ---------------------------------------------------------------------------
+
+def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
+                    const_scale: int, round_mode: int):
+    fmt_full = QFormat(iwl, 31 - iwl, round_mode)
+    wm = _encode_words(m_ref[:], iwl, round_mode)           # [TB, M, D] int32
+    wu = _encode_words(u_ref[:], iwl, round_mode)[:, None, :]
+    pm, pu = _common_mode_preprocess(wm, wu)
+    sim = jnp.zeros(pm.shape, jnp.float32)
+    for i in range(1, num_bit):
+        match = (_bit(pm, i) == _bit(pu, i)).astype(jnp.float32)
+        sim = sim + match * np.float32(2.0 ** (-i))
+    sign_differs = (pm & INT32_SIGN_BIT) != (pu & INT32_SIGN_BIT)
+    sim = jnp.where(sign_differs, -sim, sim)
+    term = float_quant(sim * np.float32(2.0 ** const_scale), fmt_full)
+    out_ref[:] = float_quant(jnp.sum(term, axis=-1), fmt_full)
+
+
+def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
+                         const_scale: int = -3, round_mode: int = 3,
+                         batch_tile: int = DEFAULT_BATCH_TILE,
+                         interpret: bool = False) -> jax.Array:
+    """Pallas forward of ops.attention.hamming_score.
+    m: [B, M, D], u: [B, D] -> [B, M]."""
+    B, M, D = m.shape
+    tb = min(batch_tile, B)
+    nb = _cdiv(B, tb)
+    pad = nb * tb - B
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad, M, D), m.dtype)])
+        u = jnp.concatenate([u, jnp.zeros((pad, D), u.dtype)])
+    out = pl.pallas_call(
+        functools.partial(_hamming_kernel, iwl=iwl, num_bit=num_bit,
+                          const_scale=const_scale, round_mode=round_mode),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * tb, M), jnp.float32),
+        interpret=interpret,
+    )(m, u)
+    return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Fused attention read: scores -> masked softmax -> quantized weighted sum
+# (one VMEM-resident program per batch tile; the reference runs this as
+#  four separate kernels per hop: _cuda_mat_mat_trans_product, _cuda_max,
+#  _cuda_softmax_fwd, _cuda_mat_trans_mat_product)
+# ---------------------------------------------------------------------------
+
+def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref, *,
+                       fmt_att: QFormat, fmt_bin: QFormat, fmt_act: QFormat,
+                       quantized: bool):
+    m = m_ref[:]                                     # [TB, M, D]
+    c = c_ref[:]
+    u = u_ref[:]                                     # [TB, D]
+    mask = mask_ref[:] != 0                          # [TB, M]
+
+    # scores (mode 2: per-product requant to fmt_att, row-sum requant)
+    if quantized:
+        prod = float_quant(
+            float_quant(m, fmt_att) * float_quant(u, fmt_bin)[:, None, :],
+            fmt_att)
+        scores = float_quant(jnp.sum(prod, axis=-1), fmt_att)
+    else:
+        scores = jnp.einsum("bmd,bd->bm", m, u,
+                            preferred_element_type=jnp.float32)
+
+    # masked softmax (max-subtracted exp; lib/layer_cuda.cu:1969-2060)
+    neg = np.float32(-1e30)
+    s = jnp.where(mask, scores, neg)
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(s - mx), 0.0)
+    total = jnp.sum(e, axis=-1, keepdims=True)
+    total = jnp.where(total == 0.0, 1.0, total)
+    p = e / total
+    p_ref[:] = p
+
+    # quantized weighted sum (per-product requant to fmt_act)
+    if quantized:
+        prod2 = float_quant(
+            float_quant(p, fmt_act)[:, :, None] * float_quant(c, fmt_act),
+            fmt_act)
+        prod2 = prod2 * mask[:, :, None].astype(jnp.float32)
+        o_ref[:] = float_quant(jnp.sum(prod2, axis=1), fmt_act)
+    else:
+        o_ref[:] = jnp.einsum("bmd,bm->bd", c,
+                              p * mask.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+
+
+def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
+                                mask: jax.Array, fmt_att: QFormat,
+                                fmt_bin: QFormat, fmt_act: QFormat,
+                                quantized: bool = True,
+                                batch_tile: int = DEFAULT_BATCH_TILE,
+                                interpret: bool = False):
+    """One-program attention read for mode 1/2.
+    m, c: [B, M, D]; u: [B, D]; mask: [B, M] -> (o [B, D], p [B, M])."""
+    B, M, D = m.shape
+    tb = min(batch_tile, B)
+    nb = _cdiv(B, tb)
+    pad = nb * tb - B
+    if pad:
+        z3 = jnp.zeros((pad, M, D), m.dtype)
+        m = jnp.concatenate([m, z3])
+        c = jnp.concatenate([c, z3])
+        u = jnp.concatenate([u, jnp.zeros((pad, D), u.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad, M), mask.dtype)])
+    o, p = pl.pallas_call(
+        functools.partial(_fused_read_kernel, fmt_att=fmt_att,
+                          fmt_bin=fmt_bin, fmt_act=fmt_act,
+                          quantized=quantized),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * tb, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb * tb, M), jnp.float32),
+        ),
+        interpret=interpret,
+    )(m, c, u, mask.astype(jnp.int32))
+    return o[:B], p[:B]

@@ -1,0 +1,57 @@
+"""Pallas kernels vs the jnp reference implementations (interpret mode on
+CPU; the same kernels compile for TPU — exercised by bench/serving)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qmann_tpu.numerics import QFormat, float_quant
+from qmann_tpu.ops import qmatvec, hamming_score, qscore, qweighted_sum, softmax
+from qmann_tpu.ops.pallas.qkernels import (
+    fused_attention_read_pallas, hamming_score_pallas, qmatvec_pallas,
+)
+
+
+@pytest.mark.parametrize("iwl", [2, 5])
+def test_qmatvec_pallas_matches_jnp(rng, iwl):
+    fmt_w = QFormat(iwl, 7 - iwl)
+    fmt_x = QFormat(2, 5)
+    w = jnp.asarray(rng.normal(0, 1.5, (13, 21)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.5, (19, 21)).astype(np.float32))
+    got = qmatvec_pallas(w, x, fmt_w, fmt_x, interpret=True)
+    want = qmatvec(w, x, fmt_w, fmt_x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("iwl", [1, 5])
+def test_hamming_pallas_matches_jnp(rng, iwl):
+    act = QFormat(iwl, 7 - iwl)
+    m = float_quant(jnp.asarray(rng.normal(0, 2, (11, 6, 5)).astype(np.float32)), act)
+    u = float_quant(jnp.asarray(rng.normal(0, 2, (11, 5)).astype(np.float32)), act)
+    got = hamming_score_pallas(m, u, iwl, 8, interpret=True)
+    want = hamming_score(m, u, iwl, 8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+def test_fused_attention_read_matches_composition(rng, quantized):
+    fmt = QFormat(5, 2)
+    B, M, D = 7, 6, 10
+    m = jnp.asarray(rng.normal(0, 1, (B, M, D)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 1, (B, M, D)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1, (B, D)).astype(np.float32))
+    n_sen = rng.integers(1, M + 1, B)
+    mask = jnp.asarray(np.arange(M)[None, :] < n_sen[:, None])
+
+    o, p = fused_attention_read_pallas(m, c, u, mask, fmt, fmt, fmt,
+                                       quantized=quantized, interpret=True)
+    scores = qscore(m, u, fmt, fmt, quantized=quantized)
+    p_ref = softmax(scores, mask)
+    o_ref = qweighted_sum(c, p_ref, mask.astype(jnp.float32), fmt,
+                          quantized=quantized)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-6, atol=1e-7)
+    if quantized:
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref))
+    else:
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=1e-5, atol=1e-6)
