@@ -1,0 +1,145 @@
+"""Continuous-batching inference engine.
+
+The reference's only serving path is the FPGA offload: a writer thread
+streams the test set and a reader thread collects predicted answer
+indices (MemN2N/MemN2N.c:2706-2738).  The TPU-native engine generalizes
+that into a continuous-batching server:
+
+  * requests (stories + questions) enter a queue from any number of
+    producer threads (or from a packet stream via serve.packet);
+  * a single dispatcher thread drains the queue, pads/masks up to a fixed
+    batch shape, and runs ONE jitted forward per wave on the chip;
+  * answers (dictionary indices) resolve each request's future.
+
+The fixed batch shape keeps a single compiled executable hot (no
+recompilation); under-full waves are padded and masked.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.data.babi import DataDims, Dictionary
+from qmann_tpu.serve.packet import IndexedSample
+
+
+@dataclasses.dataclass
+class Request:
+    sentences: List[List[str]]   # story (words)
+    question: List[str]
+    future: "Future[int]" = dataclasses.field(default_factory=Future)
+
+
+class InferenceEngine:
+    def __init__(self, params: Dict, cfg: QmannConfig, dims: DataDims,
+                 dictionary: Dictionary, batch_size: int = 64,
+                 max_wait_ms: float = 2.0):
+        import jax
+        import jax.numpy as jnp
+        from qmann_tpu.models import memn2n
+        from qmann_tpu.ops import argmax_last
+
+        self.cfg = cfg
+        self.dims = dims
+        self.dictionary = dictionary
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self._queue: "queue.Queue[Optional[Request]]" = queue.Queue()
+        self._jnp = jnp
+
+        @jax.jit
+        def _infer(params, memory, question, mask):
+            out = memn2n.forward(params, memory, question, mask, cfg)
+            return argmax_last(out.logits, axis=-1)
+
+        self._infer = _infer
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._running = False
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._running = True
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    def submit(self, sentences: Sequence[Sequence[str]],
+               question: Sequence[str]) -> "Future[int]":
+        req = Request([list(s) for s in sentences], list(question))
+        self._queue.put(req)
+        return req.future
+
+    def submit_indexed(self, sample: IndexedSample) -> "Future[int]":
+        """Accept a packet-stream sample (already word indices)."""
+        words = self.dictionary.words
+        sentences = [[words[i] for i in s if 0 <= i < len(words)]
+                     for s in sample.sentences]
+        question = [words[i] for i in sample.question
+                    if 0 <= i < len(words)]
+        return self.submit(sentences, question)
+
+    def answer_word(self, index: int) -> str:
+        return self.dictionary.words[index]
+
+    # ------------------------------------------------------------------
+    def _vectorize(self, reqs: List[Request]):
+        d = self.dims
+        n = self.batch_size
+        mem = np.zeros((n, d.max_line, d.dim_input), np.float32)
+        que = np.zeros((n, d.dim_input), np.float32)
+        mask = np.zeros((n, d.max_line), bool)
+        for bi, r in enumerate(reqs):
+            sents = r.sentences[-d.max_line:]
+            ns = len(sents)
+            for j, sent in enumerate(sents):
+                for w in sent[:d.dim_word - 1]:
+                    idx = self.dictionary.lookup(w)
+                    if idx >= 0:
+                        mem[bi, j, idx] += 1.0
+                mem[bi, j, d.dim_dict + ns - j - 1] = 1.0  # temporal enc.
+            mask[bi, :ns] = True
+            for w in r.question[:d.dim_word - 1]:
+                idx = self.dictionary.lookup(w)
+                if idx >= 0:
+                    que[bi, idx] += 1.0
+        return mem, que, mask
+
+    def _loop(self):
+        jnp = self._jnp
+        while self._running:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                break
+            wave = [first]
+            # continuous batching: drain whatever arrived, up to the wave
+            deadline_passed = False
+            while len(wave) < self.batch_size and not deadline_passed:
+                try:
+                    nxt = self._queue.get(timeout=self.max_wait)
+                    if nxt is None:
+                        deadline_passed = True
+                        self._running = False
+                    else:
+                        wave.append(nxt)
+                except queue.Empty:
+                    deadline_passed = True
+            mem, que, mask = self._vectorize(wave)
+            preds = np.asarray(self._infer(self.params, jnp.asarray(mem),
+                                           jnp.asarray(que),
+                                           jnp.asarray(mask)))
+            for bi, r in enumerate(wave):
+                r.future.set_result(int(preds[bi]))

@@ -1,0 +1,95 @@
+"""Serving engine + packet protocol tests."""
+import numpy as np
+import jax
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.data import Dictionary, Sample, compute_dims
+from qmann_tpu.models import memn2n
+from qmann_tpu.serve import (
+    InferenceEngine, IndexedSample, PacketDecoder, decode_response,
+    encode_response, encode_sample, pack, unpack,
+)
+
+
+def test_packet_pack_unpack_roundtrip():
+    for ptype in range(16):
+        for addr in (0, 1, 63, 4095):
+            t, a = unpack(pack(ptype, addr))
+            assert (t, a) == (ptype, addr)
+
+
+def test_packet_stream_roundtrip():
+    s = IndexedSample(sentences=[[3, 4, 5], [6, 7]], te_indices=[21, 20],
+                      question=[8, 9], answer=[4])
+    data = encode_sample(s)
+    decoded = PacketDecoder().feed(data)
+    assert len(decoded) == 1
+    d = decoded[0]
+    assert d.sentences == s.sentences
+    assert d.te_indices == s.te_indices
+    assert d.question == s.question
+    assert d.answer == s.answer
+
+
+def test_packet_stream_incremental_feed():
+    s = IndexedSample([[1, 2]], [10], [3], [2])
+    data = encode_sample(s, train=True)
+    dec = PacketDecoder()
+    out = []
+    for i in range(len(data)):
+        out += dec.feed(data[i:i + 1])
+    assert len(out) == 1 and out[0].question == [3]
+
+
+def test_response_roundtrip():
+    data = encode_response(17) + encode_response(4)
+    assert decode_response(data) == [17, 4]
+
+
+def _toy_setup():
+    samples = [
+        Sample([["mary", "went", "home"], ["john", "went", "out"]],
+               ["where", "is", "mary"], ["home"]),
+        Sample([["john", "went", "out"]], ["where", "is", "john"], ["out"]),
+    ]
+    d = Dictionary.build(samples)
+    dims = compute_dims(samples, d)
+    cfg = QmannConfig(dim_emb=16, verbose=False)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    return cfg, dims, d, params
+
+
+def test_inference_engine_end_to_end():
+    cfg, dims, d, params = _toy_setup()
+    eng = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                          max_wait_ms=1.0).start()
+    try:
+        futs = [eng.submit([["mary", "went", "home"]], ["where", "is", "mary"])
+                for _ in range(6)]
+        answers = [f.result(timeout=60) for f in futs]
+        assert all(0 <= a < dims.dim_input for a in answers)
+        # identical requests get identical answers
+        assert len(set(answers)) == 1
+        # answer resolves to a word
+        assert isinstance(eng.answer_word(answers[0]) if
+                          answers[0] < len(d) else "time-slot", str)
+    finally:
+        eng.stop()
+
+
+def test_inference_engine_packet_path():
+    cfg, dims, d, params = _toy_setup()
+    eng = InferenceEngine(params, cfg, dims, d, batch_size=2,
+                          max_wait_ms=1.0).start()
+    try:
+        idx = IndexedSample(
+            sentences=[[d.lookup("mary"), d.lookup("went"), d.lookup("home")]],
+            te_indices=[dims.dim_dict],
+            question=[d.lookup("where"), d.lookup("is"), d.lookup("mary")],
+            answer=[d.lookup("home")])
+        stream = encode_sample(idx)
+        decoded = PacketDecoder().feed(stream)
+        fut = eng.submit_indexed(decoded[0])
+        assert 0 <= fut.result(timeout=60) < dims.dim_input
+    finally:
+        eng.stop()
