@@ -99,12 +99,26 @@ def config_from_args(args) -> QmannConfig:
     )
 
 
+def _enable_compilation_cache():
+    """Persist compiled executables across processes — the first TPU
+    compile through the remote tunnel takes minutes; cached reruns start
+    instantly."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/qmann_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    _enable_compilation_cache()
 
     # deferred imports so --help stays fast
-    from qmann_tpu.data import load_task
+    from qmann_tpu.data.native import load_task_native as load_task
     from qmann_tpu.train import train_task
     from qmann_tpu.utils.profiling import PhaseProfiler
 
