@@ -185,7 +185,7 @@ struct Dataset {
     dict_words.push_back(w);
   }
 
-  void build(bool en_time) {
+  void build(bool en_time, int pad_dict, int pad_line) {
     enable_time = en_time;
     add_word("NULL");  // index 0 (sample.c:856-859)
     for (const auto& s : train) {           // scan order per sample.c:860-929
@@ -199,7 +199,11 @@ struct Dataset {
       for (const auto& sent : s.sentences)
         max_word = std::max(max_word, (int)sent.size());
     }
-    dim_dict = (int)dict_words.size();
+    // optional uniform-layout padding (the DIM_FORCED idea,
+    // MemN2N/define.h:151: fixed dims so one compiled program serves
+    // every task); vocabulary indices stay < the actual dict size
+    dim_dict = std::max((int)dict_words.size(), pad_dict);
+    max_line = std::max(max_line, pad_line);
     dim_input = enable_time ? dim_dict + max_line : dim_dict;
     dim_word = enable_time ? max_word + 1 : max_word;
   }
@@ -257,7 +261,7 @@ extern "C" {
 
 void* qm_load(const char* train_path, int train_is_raw, const char* test_path,
               int test_is_raw, int max_sen_len, int enable_time,
-              int limit_train, int limit_test) {
+              int limit_train, int limit_test, int pad_dict, int pad_line) {
   auto* d = new Dataset();
   d->train = train_is_raw ? parse_raw(train_path, max_sen_len, limit_train)
                           : parse_parsed(train_path, max_sen_len, limit_train);
@@ -267,7 +271,7 @@ void* qm_load(const char* train_path, int train_is_raw, const char* test_path,
     delete d;
     return nullptr;
   }
-  d->build(enable_time != 0);
+  d->build(enable_time != 0, pad_dict, pad_line);
   return d;
 }
 

@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--max-test-samples", type=int, default=None)
+    p.add_argument("--uniform-shapes", action="store_true",
+                   help="pad every task to dict=64 / 50 memory rows so one "
+                        "compiled program serves the whole sweep")
     p.add_argument("--out-dir", default="sweep_results")
     p.add_argument("--data-path",
                    default="/root/reference/MemN2N/dataset/en_10k_parsed")
@@ -70,10 +73,12 @@ def main(argv=None) -> int:
         for task_index in parse_range(args.tasks):
             task = cfg.task_name(task_index)
             t0 = time.time()
+            pad = (64, 50) if args.uniform_shapes else (0, 0)
             data = load_task_native(
                 task, cfg.data_path, raw_path=cfg.raw_data_path,
                 limit_train=args.max_samples,
-                limit_test=args.max_test_samples)
+                limit_test=args.max_test_samples,
+                pad_dict=pad[0], pad_line=pad[1])
             loops = []
             for loop in range(args.loops):
                 res = train_task(cfg.replace(seed=loop), data)

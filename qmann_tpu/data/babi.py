@@ -190,8 +190,14 @@ class DataDims:
 def compute_dims(train_samples: Sequence[Sample], dictionary: Dictionary,
                  enable_time: bool = True, dim_forced: bool = False,
                  max_dict_len: int = 64, max_sen_len: int = 50,
-                 max_line_len: int = 7) -> DataDims:
-    """Dims from the TRAIN split only (MemN2N/MemN2N.c:544-582)."""
+                 max_line_len: int = 7, pad_dict: int = 0,
+                 pad_line: int = 0) -> DataDims:
+    """Dims from the TRAIN split only (MemN2N/MemN2N.c:544-582).
+
+    pad_dict/pad_line: optional uniform-layout padding (the DIM_FORCED idea,
+    define.h:151) so one compiled program serves every task; vocabulary
+    indices stay below the actual dictionary size and the padded columns
+    are always zero."""
     if dim_forced:
         dim_dict = max_dict_len
         max_word = max_line_len
@@ -202,7 +208,8 @@ def compute_dims(train_samples: Sequence[Sample], dictionary: Dictionary,
     max_line = max((len(s.sentences) for s in train_samples), default=0)
     max_word = max((len(sent) for s in train_samples for sent in s.sentences),
                    default=0)
-    dim_dict = len(dictionary)
+    dim_dict = max(len(dictionary), pad_dict)
+    max_line = max(max_line, pad_line)
     dim_input = dim_dict + max_line if enable_time else dim_dict
     dim_word = max_word + 1 if enable_time else max_word
     return DataDims(dim_dict, max_line, max_word, dim_word, dim_input)
@@ -321,6 +328,7 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
               limit_test: Optional[int] = None,
               rng: Optional[np.random.Generator] = None,
               dim_forced: bool = False, max_dict_len: int = 64,
+              pad_dict: int = 0, pad_line: int = 0,
               train_task_name: Optional[str] = None) -> TaskData:
     """Load one bAbI task end to end.
 
@@ -361,7 +369,8 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
     dictionary = Dictionary.build(train_samples)
     dims = compute_dims(train_samples, dictionary, enable_time,
                         dim_forced=dim_forced, max_dict_len=max_dict_len,
-                        max_sen_len=max_sen_len)
+                        max_sen_len=max_sen_len, pad_dict=pad_dict,
+                        pad_line=pad_line)
 
     n_valid = int(len(train_samples) * rate_valid)
     n_train = len(train_samples) - n_valid

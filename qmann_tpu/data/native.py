@@ -41,7 +41,8 @@ def _load_lib():
     lib.qm_load.restype = ctypes.c_void_p
     lib.qm_load.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                            ctypes.c_int, ctypes.c_int]
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_int]
     lib.qm_free.argtypes = [ctypes.c_void_p]
     for name in ("qm_dim_dict", "qm_max_line", "qm_max_word", "qm_dim_word",
                  "qm_dim_input", "qm_num_train", "qm_num_test",
@@ -83,6 +84,7 @@ def load_task_native(task_name: str, data_path: str, *,
                      rate_valid: float = 0.1,
                      limit_train: Optional[int] = None,
                      limit_test: Optional[int] = None,
+                     pad_dict: int = 0, pad_line: int = 0,
                      train_task_name: Optional[str] = None,
                      **py_kwargs) -> TaskData:
     lib = _load_lib()
@@ -91,6 +93,7 @@ def load_task_native(task_name: str, data_path: str, *,
                          raw_path=raw_path, enable_time=enable_time,
                          max_sen_len=max_sen_len, rate_valid=rate_valid,
                          limit_train=limit_train, limit_test=limit_test,
+                         pad_dict=pad_dict, pad_line=pad_line,
                          train_task_name=train_task_name, **py_kwargs)
     tt = train_task_name or task_name
     train_file, train_raw = _resolve_files(task_name, data_path, raw_path,
@@ -100,7 +103,8 @@ def load_task_native(task_name: str, data_path: str, *,
     h = lib.qm_load(train_file.encode(), int(train_raw), test_file.encode(),
                     int(test_raw), max_sen_len, int(enable_time),
                     -1 if limit_train is None else limit_train,
-                    -1 if limit_test is None else limit_test)
+                    -1 if limit_test is None else limit_test,
+                    pad_dict, pad_line)
     if not h:
         raise RuntimeError(f"native parser failed for {train_file}")
     try:
