@@ -158,7 +158,8 @@ def main(argv=None) -> int:
             if args.checkpoint_dir:
                 from qmann_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(args.checkpoint_dir, res.params, loop_cfg,
-                                data.dims, tag=f"{task}_loop{loop}")
+                                data.dims, tag=f"{task}_loop{loop}",
+                                dictionary=data.dictionary)
         results.append(TaskResult(task_index, loops))
         errs = [l.err_test for l in loops]
         print(f"  task {task_index} err_test avg/max/min: "

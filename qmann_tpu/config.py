@@ -72,6 +72,7 @@ class QmannConfig:
     en_shift_based_sm: bool = False  # :55
     en_exp_table_based: bool = False # :315  exp_plan softmax
     en_cosine_sim: bool = False      # :200
+    test_maxout: bool = False        # :309  maxout-attention trial model
 
     # --- training (define.h:204-254, :313) ---
     learning_rate: float = 0.3       # :241/:252

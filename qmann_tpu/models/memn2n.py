@@ -82,6 +82,9 @@ def init_params(cfg: QmannConfig, dims, key: jax.Array) -> Params:
     if cfg.en_sc_att:
         # scale layers initialize their scalar to 1.0 (scale_constructor)
         params["scale"] = jnp.ones((K,), jnp.float32)
+    if cfg.test_maxout:
+        from qmann_tpu.models.maxout import init_maxout_params
+        params["maxout_w"], params["maxout_b"] = init_maxout_params(keys[5])
     return params
 
 
@@ -133,16 +136,31 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
         m = qembed_mat(memory, a_w, fmt_w[h], quantized=q)   # [B, M, D]
         c = qembed_mat(memory, c_w, fmt_w[h], quantized=q)   # [B, M, D]
 
+        if cfg.en_cosine_sim and cfg.attention_mode in (1, 2):
+            # EN_COSINE_SIM (define.h:200; _cuda_normalize_vec,
+            # lib/layer_cuda.cu:1743-1781): L2-normalize both operands
+            # before the score
+            m_sc = m / jnp.maximum(
+                jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+            u_sc = u / jnp.maximum(
+                jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+        else:
+            m_sc, u_sc = m, u
         scores = attention_score(
-            m, u, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
+            m_sc, u_sc, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
             num_bit=cfg.num_bits_attention,
             const_scale=cfg.attention_const_scale)            # [B, M]
         if cfg.en_sc_att and not remove_softmax:
             scores = scale_apply(params["scale"][h], scores)
-        p = apply_softmax(scores, mask,
-                          shift_based=cfg.en_shift_based_sm,
-                          use_exp_plan=cfg.en_exp_table_based,
-                          remove=remove_softmax)               # [B, M]
+        if cfg.test_maxout:
+            from qmann_tpu.models.maxout import maxout_attention
+            p = maxout_attention(scores, params["maxout_w"],
+                                 params["maxout_b"], mask)
+        else:
+            p = apply_softmax(scores, mask,
+                              shift_based=cfg.en_shift_based_sm,
+                              use_exp_plan=cfg.en_exp_table_based,
+                              remove=remove_softmax)           # [B, M]
         o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=q)  # [B, D]
 
         if cfg.en_linear_mapping:

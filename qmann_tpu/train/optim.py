@@ -56,6 +56,16 @@ def sgd_update(params: Params, grads: Params, lr: jax.Array,
     new: Params = {}
     for name, w in params.items():
         g = grads[name]
+        if cfg.en_grad_quant and name not in ("scale",):
+            # EN_GRAD_QUANT capability (define.h:91, undefined in the
+            # shipped build).  The reference would quantize inside each
+            # backward kernel (f_fixed threading, lib/layer.c:551-555);
+            # here the accumulated batch gradient is quantized once at the
+            # weight's format before the update — a documented deviation
+            # of an off-by-default mode.
+            from qmann_tpu.numerics import float_quant
+            fmt = cfg.fmt_ds_ans if name == "W" else cfg.fmt_w[0]
+            g = float_quant(g, fmt)
         if name == "scale":
             # per-hop scalar; divisor batch*dim with dim = the score length;
             # the reference uses the live n_sen — we use the padded memory

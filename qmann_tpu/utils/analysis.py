@@ -1,0 +1,60 @@
+"""Similarity (softmax distribution) analysis.
+
+The reference can dump every attention softmax's inputs and outputs per
+(epoch, sample, hop) into CSVs bucketed by 25-epoch ranges
+(EN_SIMILARITY_ANALYSIS, MemN2N/MemN2N.c:492-516 setup, :1416-1475 dump)
+to study how quantization reshapes the attention distributions.
+
+The TPU version collects the same tensors from the batched forward
+(ForwardResult.scores / .attention) and writes the same bucketed CSVs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class SimilarityAnalyzer:
+    """Accumulates per-hop softmax inputs/outputs and writes the
+    reference's four 25-epoch-bucket CSV pairs."""
+
+    BUCKETS = ((0, 24), (25, 49), (50, 74), (75, 99))
+
+    def __init__(self, out_dir: str = ".", num_itr: int = 100):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._files = {}
+        for lo, hi in self.BUCKETS:
+            for kind in ("input", "output"):
+                path = os.path.join(out_dir, f"softmax_{kind}_{lo}to{hi}.csv")
+                open(path, "w").close()  # truncate like the reference
+                self._files[(kind, lo)] = path
+
+    def _bucket(self, epoch: int) -> Optional[int]:
+        for lo, hi in self.BUCKETS:
+            if lo <= epoch <= hi:
+                return lo
+        return None
+
+    def record(self, epoch: int, scores, attention, mask) -> None:
+        """scores/attention: [K, B, M]; mask: [B, M].  One CSV row per
+        (sample, hop) with only the live memory rows, matching the
+        reference's per-sample dump (MemN2N/MemN2N.c:1416-1475)."""
+        lo = self._bucket(epoch)
+        if lo is None:
+            return
+        scores = np.asarray(scores)
+        attention = np.asarray(attention)
+        mask = np.asarray(mask)
+        k, b, _ = scores.shape
+        with open(self._files[("input", lo)], "a") as fi, \
+                open(self._files[("output", lo)], "a") as fo:
+            for bi in range(b):
+                live = mask[bi]
+                for h in range(k):
+                    row_i = ",".join(f"{v:f}" for v in scores[h, bi][live])
+                    row_o = ",".join(f"{v:f}" for v in attention[h, bi][live])
+                    fi.write(f"{epoch},{bi},{h},{row_i}\n")
+                    fo.write(f"{epoch},{bi},{h},{row_o}\n")

@@ -38,7 +38,7 @@ def _weight_format(name: str, cfg: QmannConfig):
 
 
 def save_checkpoint(ckpt_dir: str, params: Dict, cfg: QmannConfig, dims,
-                    tag: str = "model") -> str:
+                    tag: str = "model", dictionary=None) -> str:
     path = os.path.join(ckpt_dir, tag)
     os.makedirs(path, exist_ok=True)
     np_params = {k: np.asarray(v) for k, v in params.items()}
@@ -56,6 +56,9 @@ def save_checkpoint(ckpt_dir: str, params: Dict, cfg: QmannConfig, dims,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    if dictionary is not None:
+        with open(os.path.join(path, "dictionary.json"), "w") as f:
+            json.dump(list(dictionary.words), f)
     return path
 
 

@@ -1,0 +1,141 @@
+"""Auxiliary subsystem tests: verification harness, similarity analysis,
+maxout-attention trial, cosine similarity, gradient quantization,
+checkpoint round trip, reporting."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.config import QmannConfig
+from qmann_tpu.data import DataDims, Dictionary, Sample, compute_dims
+from qmann_tpu.models import memn2n
+from qmann_tpu.models.maxout import maxout_attention, maxout_unit
+from qmann_tpu.numerics import QFormat
+from qmann_tpu.train import train_epoch
+from qmann_tpu.train.trainer import _batched_arrays
+from qmann_tpu.utils.analysis import SimilarityAnalyzer
+from qmann_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from qmann_tpu.utils.verification import (
+    compare, overflow_stats, verify_kernels, verify_model_quantization,
+)
+from qmann_tpu.data.babi import VectorizedSplit
+
+
+def _case(rng, n=6, m=5, dim_input=18):
+    dims = DataDims(dim_dict=dim_input - m, max_line=m, max_word=5,
+                    dim_word=6, dim_input=dim_input)
+    mem = rng.integers(0, 2, (n, m, dim_input)).astype(np.float32)
+    que = rng.integers(0, 2, (n, dim_input)).astype(np.float32)
+    ans = np.zeros((n, dim_input), np.float32)
+    ans[np.arange(n), rng.integers(1, dim_input, n)] = 1.0
+    n_sen = rng.integers(1, m + 1, n)
+    mask = np.arange(m)[None, :] < n_sen[:, None]
+    mem *= mask[:, :, None]
+    return dims, mem, que, ans, mask
+
+
+def test_verify_kernels_pass():
+    results = verify_kernels()
+    assert all(r.ok for r in results), [str(r) for r in results]
+
+
+def test_verify_model_quantization_reports(rng):
+    cfg = QmannConfig(dim_emb=8, verbose=False)
+    dims, mem, que, ans, mask = _case(rng)
+    res = verify_model_quantization(
+        cfg, dims, (jnp.asarray(mem), jnp.asarray(que), jnp.asarray(mask)))
+    assert len(res) == 2
+    assert res[1].total == 6
+
+
+def test_overflow_stats():
+    s = overflow_stats(np.array([0.1, 100.0, 0.01, -50.0], np.float32),
+                       QFormat(5, 2))
+    assert s["saturated"] == 0.5
+    assert s["underflow_to_zero"] == 0.5
+    assert s["max_abs"] == 100.0
+
+
+def test_similarity_analyzer_writes_buckets(tmp_path, rng):
+    an = SimilarityAnalyzer(str(tmp_path))
+    scores = rng.normal(0, 1, (3, 2, 4)).astype(np.float32)
+    attn = rng.random((3, 2, 4)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0], [1, 1, 0, 0]], bool)
+    an.record(epoch=0, scores=scores, attention=attn, mask=mask)
+    an.record(epoch=30, scores=scores, attention=attn, mask=mask)
+    f0 = (tmp_path / "softmax_input_0to24.csv").read_text()
+    f1 = (tmp_path / "softmax_input_25to49.csv").read_text()
+    assert len(f0.splitlines()) == 6  # 2 samples x 3 hops
+    assert len(f1.splitlines()) == 6
+    # row format: epoch,sample,hop,scores(live only)
+    first = f0.splitlines()[0].split(",")
+    assert first[:3] == ["0", "0", "0"] and len(first) == 3 + 3
+
+
+def test_maxout_unit_and_attention():
+    w = jnp.asarray([1.0, -1.0], jnp.float32)
+    b = jnp.asarray([0.0, 0.5], jnp.float32)
+    # max(x, -x+0.5)
+    np.testing.assert_allclose(
+        np.asarray(maxout_unit(jnp.asarray([2.0, 0.0]), w, b)), [2.0, 0.5])
+    scores = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+    mask = jnp.asarray([[True, True, False]])
+    p = maxout_attention(scores, w, b, mask)
+    np.testing.assert_allclose(np.asarray(p), [[1 / 3, 2 / 3, 0.0]],
+                               rtol=1e-6)
+
+
+def test_maxout_model_trains(rng):
+    cfg = QmannConfig(dim_emb=8, verbose=False, test_maxout=True,
+                      attention_mode=1, en_fixed_point=False)
+    dims, mem, que, ans, mask = _case(rng)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    assert "maxout_w" in params
+    split = VectorizedSplit(mem, que, ans,
+                            mask.sum(1).astype(np.int32),
+                            np.argmax(ans, 1).astype(np.int32))
+    batches = {k: jnp.asarray(v) for k, v in _batched_arrays(split, 3).items()}
+    p2, cost, matches = train_epoch(params, batches, jnp.float32(0.1), cfg)
+    assert np.isfinite(float(cost))
+    for k, v in p2.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_cosine_sim_forward(rng):
+    cfg = QmannConfig(dim_emb=8, verbose=False, en_cosine_sim=True)
+    dims, mem, que, ans, mask = _case(rng)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    out = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                         jnp.asarray(mask), cfg)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_grad_quant_capability(rng):
+    cfg = QmannConfig(dim_emb=8, verbose=False, en_grad_quant=True)
+    dims, mem, que, ans, mask = _case(rng)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    split = VectorizedSplit(mem, que, ans, mask.sum(1).astype(np.int32),
+                            np.argmax(ans, 1).astype(np.int32))
+    batches = {k: jnp.asarray(v) for k, v in _batched_arrays(split, 3).items()}
+    p2, cost, _ = train_epoch(params, batches, jnp.float32(0.3), cfg)
+    assert np.isfinite(float(cost))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = QmannConfig(dim_emb=8, verbose=False)
+    dims, *_ = _case(rng)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    d = Dictionary.build([Sample([["a"]], ["b"], ["c"])])
+    path = save_checkpoint(str(tmp_path), params, cfg, dims, tag="t",
+                           dictionary=d)
+    loaded, cfg2, dims2 = load_checkpoint(path)
+    assert cfg2 == cfg
+    for k in params:
+        np.testing.assert_array_equal(loaded[k], np.asarray(params[k]))
+    fixed, _, _ = load_checkpoint(path, fixed=True)
+    # fixed weights lie on their Q-format grids
+    step = 2.0 ** -cfg.fmt_w[0].frac
+    a = fixed["A"]
+    np.testing.assert_allclose(a, np.round(a / step) * step, atol=1e-7)
+    assert os.path.exists(os.path.join(path, "dictionary.json"))

@@ -93,3 +93,35 @@ def test_inference_engine_packet_path():
         assert 0 <= fut.result(timeout=60) < dims.dim_input
     finally:
         eng.stop()
+
+
+def test_packet_tcp_server_roundtrip():
+    import socket
+    from qmann_tpu.serve.server import serve
+
+    cfg, dims, d, params = _toy_setup()
+    eng = InferenceEngine(params, cfg, dims, d, batch_size=2,
+                          max_wait_ms=1.0).start()
+    server = serve(eng, port=0)
+    host, port = server.server_address
+    try:
+        idx = IndexedSample(
+            sentences=[[d.lookup("mary"), d.lookup("went"), d.lookup("home")]],
+            te_indices=[dims.dim_dict],
+            question=[d.lookup("where"), d.lookup("is"), d.lookup("mary")],
+            answer=[d.lookup("home")])
+        payload = encode_sample(idx) * 3  # three identical samples
+        with socket.create_connection((host, port), timeout=30) as sock:
+            sock.sendall(payload)
+            got = b""
+            while len(got) < 6:
+                chunk = sock.recv(16)
+                if not chunk:
+                    break
+                got += chunk
+        answers = decode_response(got)
+        assert len(answers) == 3
+        assert len(set(answers)) == 1
+    finally:
+        server.shutdown()
+        eng.stop()
