@@ -101,6 +101,9 @@ class QmannConfig:
     null_char: str = "NULL"          # :232
     max_word_len: int = 20           # :123
 
+    # --- TPU execution ---
+    use_pallas: bool = False   # route hot-op forwards through Pallas kernels
+
     # --- misc ---
     seed: int = 0
     verbose: bool = True             # :302

@@ -124,17 +124,20 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     q = cfg.en_fixed_point
     fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
     mask_f = mask.astype(jnp.float32)
+    backend = "pallas" if cfg.use_pallas else "jnp"
 
     # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
     # MemN2N/MemN2N.c:823)
     u = qmatvec(_query_weight(params, cfg), question,
-                fmt_w[0], fmt_w[0], quantized=q)
+                fmt_w[0], fmt_w[0], quantized=q, backend=backend)
 
     attn, scores_all = [], []
     for h in range(cfg.num_hops):
         a_w, c_w, h_w = _hop_weights(params, cfg, h)
-        m = qembed_mat(memory, a_w, fmt_w[h], quantized=q)   # [B, M, D]
-        c = qembed_mat(memory, c_w, fmt_w[h], quantized=q)   # [B, M, D]
+        m = qembed_mat(memory, a_w, fmt_w[h], quantized=q,
+                       backend=backend)                       # [B, M, D]
+        c = qembed_mat(memory, c_w, fmt_w[h], quantized=q,
+                       backend=backend)                       # [B, M, D]
 
         if cfg.en_cosine_sim and cfg.attention_mode in (1, 2):
             # EN_COSINE_SIM (define.h:200; _cuda_normalize_vec,
@@ -149,7 +152,8 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
         scores = attention_score(
             m_sc, u_sc, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
             num_bit=cfg.num_bits_attention,
-            const_scale=cfg.attention_const_scale)            # [B, M]
+            const_scale=cfg.attention_const_scale,
+            backend=backend)                                  # [B, M]
         if cfg.en_sc_att and not remove_softmax:
             scores = scale_apply(params["scale"][h], scores)
         if cfg.test_maxout:
@@ -166,7 +170,8 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
         if cfg.en_linear_mapping:
             # lin_map: dense(D->D) with in fmt_bin / w fmt_w[h]
             # (MemN2N/MemN2N.c:860)
-            u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin, quantized=q)
+            u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin, quantized=q,
+                               backend=backend)
         else:
             u_mapped = u
         u = qsum(u_mapped, o, fmt_act[h], quantized=q)         # [B, D]

@@ -98,20 +98,27 @@ def unweighted_similarity(wa: jax.Array, wb: jax.Array, num_bit: int) -> jax.Arr
     return sim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def hamming_score(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
                   const_scale: int = DEFAULT_CONST_SCALE,
-                  round_mode: int = 3) -> jax.Array:
+                  round_mode: int = 3, backend: str = "jnp") -> jax.Array:
     """Approximate (Hamming-similarity) attention score.
 
     m: [..., M, D] memory embeddings; u: [..., D] query -> [..., M].
     num_bit: number of compared bits = 1 + iwl + frac of the layer's
     nominal format (lib/layer.c:230, passed as (1+iwl_m+frac_m)).
+    backend="pallas" runs the VMEM-tiled kernel forward (bit-identical).
     """
-    return _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode)
+    return _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
+                             backend)
 
 
-def _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode):
+def _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
+                      backend="jnp"):
+    if backend == "pallas" and m.ndim == 3 and u.ndim == 2:
+        from qmann_tpu.ops.pallas.qkernels import hamming_score_pallas
+        return hamming_score_pallas(m, u, iwl, num_bit, const_scale,
+                                    round_mode)
     fmt_full = QFormat(iwl, 31 - iwl, round_mode)
     wm = _encode_words(m, iwl, round_mode)             # [..., M, D]
     wu = _encode_words(u, iwl, round_mode)[..., None, :]  # [..., 1, D]
@@ -122,11 +129,12 @@ def _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode):
     return float_quant(jnp.sum(term, axis=-1), fmt_full)  # :524-532
 
 
-def _hamming_fwd(m, u, iwl, num_bit, const_scale, round_mode):
-    return _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode), (m, u)
+def _hamming_fwd(m, u, iwl, num_bit, const_scale, round_mode, backend):
+    return (_hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
+                              backend), (m, u))
 
 
-def _hamming_bwd(iwl, num_bit, const_scale, round_mode, res, g):
+def _hamming_bwd(iwl, num_bit, const_scale, round_mode, backend, res, g):
     """Surrogate gradients, reproduced from the reference kernels.
 
     Both kernels re-encode and re-preprocess the inputs exactly as the
@@ -196,7 +204,8 @@ def binary_score(m: jax.Array, u: jax.Array) -> jax.Array:
 def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
                     fmt_att: QFormat, fmt_bin: QFormat,
                     num_bit: int | None = None,
-                    const_scale: int = DEFAULT_CONST_SCALE) -> jax.Array:
+                    const_scale: int = DEFAULT_CONST_SCALE,
+                    backend: str = "jnp") -> jax.Array:
     """Dispatch over the four attention modes (lib/layer.c:167-251)."""
     from qmann_tpu.ops.qlinear import qscore
     if attention_mode == 1:
@@ -205,7 +214,8 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
         return qscore(m, u, fmt_att, fmt_bin, quantized=True)
     if attention_mode == 3:
         nb = num_bit if num_bit is not None else 1 + fmt_att.iwl + fmt_att.frac
-        return hamming_score(m, u, fmt_att.iwl, nb, const_scale, fmt_att.mode)
+        return hamming_score(m, u, fmt_att.iwl, nb, const_scale,
+                             fmt_att.mode, backend)
     if attention_mode == 4:
         return binary_score(m, u)
     raise ValueError(f"unknown attention mode {attention_mode}")

@@ -56,9 +56,9 @@ def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
 # qmatvec: out = W @ x   (dense layer forward, lib/layer_cuda.cu:3163-3210)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
-            quantized: bool = True) -> jax.Array:
+            quantized: bool = True, backend: str = "jnp") -> jax.Array:
     """Quantized matrix-vector product: out[...,o] = Q(sum_i Q(Q(w)Q(x)))
 
     w: [O, I]; x: [..., I] -> [..., O].
@@ -67,31 +67,44 @@ def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
     float output layer ds_ans (MemN2N/MemN2N.c:766-767,902-906) and
     attention mode 1.
 
+    backend="pallas" routes the quantized forward through the VMEM-tiled
+    Pallas kernel (ops/pallas/qkernels.py) — bit-identical output, one
+    program per batch tile instead of an XLA fusion chain over the
+    [B, O, I] product lattice.  The backward is the same raw-float VJP
+    either way.
+
     When fmt_w is the binary format (iwl+frac==0), the XNOR-net-style scale
     is applied: the output is multiplied by sum(w)/(O*I).  NB the
     reference's "_cuda_l1_norm" sums the raw weights (no abs),
     lib/layer_cuda.cu:1624-1650 — reproduced as-is.
     """
-    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized)
+    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend)
 
 
-def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized):
+def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp"):
     if not quantized:
         return jnp.einsum("oi,...i->...o", w, x,
                           preferred_element_type=jnp.float32)
-    prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
-    out = float_quant(jnp.sum(prod, axis=-1), fmt_w)
+    if backend == "pallas" and x.ndim >= 1:
+        from qmann_tpu.ops.pallas.qkernels import qmatvec_pallas
+        lead = x.shape[:-1]
+        flat = x.reshape((-1, x.shape[-1])) if x.ndim != 2 else x
+        out = qmatvec_pallas(w, flat, fmt_w, fmt_x)
+        out = out.reshape(lead + (w.shape[0],))
+    else:
+        prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
+        out = float_quant(jnp.sum(prod, axis=-1), fmt_w)
     if fmt_w.is_binary:
         scale = jnp.sum(w) / jnp.float32(w.shape[0] * w.shape[1])
         out = out * scale
     return out
 
 
-def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized):
-    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized), (w, x)
+def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend):
+    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend), (w, x)
 
 
-def _qmatvec_bwd(fmt_w, fmt_x, quantized, res, g):
+def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, res, g):
     w, x = res
     # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
     #   w_del += g (x)^T ; grad_x = W^T g
@@ -107,29 +120,39 @@ qmatvec.defvjp(_qmatvec_fwd, _qmatvec_bwd)
 # qembed_mat: M = S @ A^T  (dense_mat forward, lib/layer_cuda.cu:3512-3569)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def qembed_mat(s: jax.Array, a: jax.Array, fmt: QFormat,
-               quantized: bool = True) -> jax.Array:
+               quantized: bool = True, backend: str = "jnp") -> jax.Array:
     """Memory embedding: s [..., M, I] (bag-of-words rows) x a [D, I]
     -> [..., M, D], with dense_mat's single Q-format applied to both
     operands, each product, and the output (cuda_dense_mat_fwd ->
-    _cuda_mat_mat_trans_product, lib/layer_cuda.cu:3512-3569)."""
-    return _qembed_mat_impl(s, a, fmt, quantized)
+    _cuda_mat_mat_trans_product, lib/layer_cuda.cu:3512-3569).
+
+    This op carries the framework's largest intermediate (the
+    [B, M, D, I] product lattice); backend="pallas" keeps it entirely in
+    VMEM by treating the B*M rows as the batch of the qmatvec kernel."""
+    return _qembed_mat_impl(s, a, fmt, quantized, backend)
 
 
-def _qembed_mat_impl(s, a, fmt, quantized):
+def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp"):
     if not quantized:
         return jnp.einsum("...mi,di->...md", s, a,
                           preferred_element_type=jnp.float32)
+    if backend == "pallas":
+        from qmann_tpu.ops.pallas.qkernels import qmatvec_pallas
+        lead = s.shape[:-1]
+        flat = s.reshape((-1, s.shape[-1]))
+        out = qmatvec_pallas(a, flat, fmt, fmt)
+        return out.reshape(lead + (a.shape[0],))
     prod = _qproducts(s[..., :, None, :], a, fmt, fmt, fmt)  # [...,M,D,I]
     return float_quant(jnp.sum(prod, axis=-1), fmt)
 
 
-def _qembed_mat_fwd(s, a, fmt, quantized):
-    return _qembed_mat_impl(s, a, fmt, quantized), (s, a)
+def _qembed_mat_fwd(s, a, fmt, quantized, backend):
+    return _qembed_mat_impl(s, a, fmt, quantized, backend), (s, a)
 
 
-def _qembed_mat_bwd(fmt, quantized, res, g):
+def _qembed_mat_bwd(fmt, quantized, backend, res, g):
     s, a = res
     # dense_mat_bwd: A_del += grad^T S in float
     # (_cuda_mat_trans_mat_product_accum, lib/layer_cuda.cu:637-690)

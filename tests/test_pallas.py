@@ -55,3 +55,34 @@ def test_fused_attention_read_matches_composition(rng, quantized):
     else:
         np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_model_forward_pallas_backend_matches_jnp(rng):
+    """The whole model forward with use_pallas must match the jnp backend
+    bit-for-bit (interpret mode on CPU)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data import DataDims
+    from qmann_tpu.models import memn2n
+
+    for mode in (2, 3):
+        cfg = QmannConfig(dim_emb=8, num_hops=2, verbose=False,
+                          attention_mode=mode)
+        dims = DataDims(dim_dict=12, max_line=5, max_word=5, dim_word=6,
+                        dim_input=17)
+        params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+        mem = rng.integers(0, 2, (6, 5, 17)).astype(np.float32)
+        que = rng.integers(0, 2, (6, 17)).astype(np.float32)
+        n_sen = rng.integers(1, 6, 6)
+        mask = np.arange(5)[None, :] < n_sen[:, None]
+        mem = mem * mask[:, :, None]
+        out_ref = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                                 jnp.asarray(mask), cfg)
+        with pltpu.force_tpu_interpret_mode():
+            out_pl = memn2n.forward(params, jnp.asarray(mem),
+                                    jnp.asarray(que), jnp.asarray(mask),
+                                    cfg.replace(use_pallas=True))
+        np.testing.assert_array_equal(np.asarray(out_pl.logits),
+                                      np.asarray(out_ref.logits),
+                                      err_msg=f"mode {mode}")
