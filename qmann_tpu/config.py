@@ -69,6 +69,8 @@ class QmannConfig:
     en_linear_mapping: bool = True   # :291  linear map H between hops
     en_non_linearity: bool = False   # :294  ReLU between hops
     en_sc_att: bool = False          # :59   learnable scale before attn softmax
+    en_similarity_analysis: bool = False  # :71  softmax distribution dumps
+    similarity_analysis_dir: str = "."    # where the bucket CSVs go
     en_shift_based_sm: bool = False  # :55
     en_exp_table_based: bool = False # :315  exp_plan softmax
     en_cosine_sim: bool = False      # :200

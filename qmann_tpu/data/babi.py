@@ -238,11 +238,21 @@ class VectorizedSplit:
                 < self.n_sen[:, None])
 
 
+def position_encoding_weights(dims: DataDims) -> np.ndarray:
+    """PE weight table 1 + 4*(i/dim_input - 0.5)*(j/dim_word - 0.5)
+    (MemN2N/MemN2N.c:606-617).  EN_PE is off by default (define.h:298) and
+    the reference applies it only to the question vector
+    (sample.c:545-551); the sentence path is commented out."""
+    i = np.arange(dims.dim_input)[:, None] / dims.dim_input - 0.5
+    j = np.arange(dims.dim_word)[None, :] / dims.dim_word - 0.5
+    return (1.0 + 4.0 * i * j).astype(np.float32)
+
+
 def vectorize(samples: Sequence[Sample], dictionary: Dictionary,
               dims: DataDims, enable_time: bool = True,
               rand_noise_time: float = 0.0, is_train: bool = False,
               rng: Optional[np.random.Generator] = None,
-              max_sen_len: int = 50) -> VectorizedSplit:
+              max_sen_len: int = 50, en_pe: bool = False) -> VectorizedSplit:
     """sample_vectorization (MemN2N/sample.c:413-574):
       * word -> index (case-insensitive);
       * temporal-encoding token per sentence j: index
@@ -290,10 +300,16 @@ def vectorize(samples: Sequence[Sample], dictionary: Dictionary,
                 mem[si, j, te] = 1.0
         n_q = min(len(s.question), dims.dim_word - 1) if enable_time \
             else min(len(s.question), dims.dim_word)
-        for w in s.question[:n_q]:
+        pe_w = position_encoding_weights(dims) if en_pe else None
+        for jq, w in enumerate(s.question[:n_q]):
             idx = dictionary.lookup(w)
             if idx >= 0:
-                que[si, idx] += 1.0
+                if pe_w is not None:
+                    # EN_PE: position-encoding weight REPLACES the count
+                    # (sample.c:546-547 uses '=' not '+=')
+                    que[si, idx] = pe_w[idx, jq]
+                else:
+                    que[si, idx] += 1.0
         n_a = min(len(s.answer), dims.dim_word - 1) if enable_time \
             else min(len(s.answer), dims.dim_word)
         first = True

@@ -108,6 +108,48 @@ def zero_null_columns(params: Params, cfg: QmannConfig) -> Params:
     return out
 
 
+def sgd_momentum_update(params, grads, velocity, lr, batch_size, cfg,
+                        momentum: float = 0.9):
+    """Momentum SGD — one of the reference's commented-out optimizer
+    alternatives (lib/layer.c:2277-2330), offered as a capability."""
+    import jax
+    new_v = jax.tree.map(
+        lambda v, g: momentum * v + g / batch_size, velocity, grads)
+    scaled = {k: new_v[k] * batch_size for k in grads}  # reuse clip path
+    return sgd_update(params, scaled, lr, batch_size, cfg), new_v
+
+
+def rmsprop_update(params, grads, second_moment, lr, batch_size, cfg,
+                   decay: float = 0.9, eps: float = 1e-8):
+    """RMSprop (reference's commented alternative, lib/layer.c:2297-2310)."""
+    import jax
+    import jax.numpy as jnp
+    g_avg = jax.tree.map(lambda g: g / batch_size, grads)
+    new_m = jax.tree.map(lambda m, g: decay * m + (1 - decay) * g * g,
+                         second_moment, g_avg)
+    new_p = jax.tree.map(
+        lambda w, g, m: w - lr * g / (jnp.sqrt(m) + eps),
+        params, g_avg, new_m)
+    return new_p, new_m
+
+
+def adamax_update(params, grads, state, lr, batch_size, cfg, t,
+                  b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """AdaMax (reference's commented alternative, lib/layer.c:2363-2375)."""
+    import jax
+    import jax.numpy as jnp
+    m, u = state
+    g_avg = jax.tree.map(lambda g: g / batch_size, grads)
+    new_m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, g_avg)
+    new_u = jax.tree.map(lambda uu, g: jnp.maximum(b2 * uu, jnp.abs(g)),
+                         u, g_avg)
+    corr = 1.0 - b1 ** t
+    new_p = jax.tree.map(
+        lambda w, mm, uu: w - lr / corr * mm / (uu + eps),
+        params, new_m, new_u)
+    return new_p, (new_m, new_u)
+
+
 def lr_schedule(cfg: QmannConfig):
     """Generator of (epoch, lr, remove_softmax) replicating
     MemN2N/MemN2N.c:1078-1099: during linear start (first

@@ -137,6 +137,11 @@ def train_task(cfg: QmannConfig, data: TaskData,
     batches = {k: jnp.asarray(v) for k, v in batches_np.items()}
 
     history: List[EpochMetrics] = []
+    analyzer = None
+    if cfg.en_similarity_analysis:
+        from qmann_tpu.utils.analysis import SimilarityAnalyzer
+        analyzer = SimilarityAnalyzer(cfg.similarity_analysis_dir,
+                                      cfg.num_itr)
     best_params = None
     err_valid_best, cost_valid_best = float("inf"), float("inf")
     ind_early_stopping = 0
@@ -157,6 +162,18 @@ def train_task(cfg: QmannConfig, data: TaskData,
         err_train = 1.0 - int(match_train) / max(n_train, 1)
 
         cost_valid, err_valid, _ = eval_split(params, data.valid, cfg)
+
+        if analyzer is not None:
+            # EN_SIMILARITY_ANALYSIS (MemN2N/MemN2N.c:1416-1475): dump the
+            # attention softmax inputs/outputs; a 32-sample probe batch
+            # stands in for the reference's full per-sample dump
+            probe = min(32, len(data.valid))
+            out = memn2n.forward(
+                params, jnp.asarray(data.valid.memory[:probe]),
+                jnp.asarray(data.valid.question[:probe]),
+                jnp.asarray(data.valid.mask[:probe]), cfg)
+            analyzer.record(itr, out.scores, out.attention,
+                            data.valid.mask[:probe])
 
         # best-model tracking (MemN2N/MemN2N.c:2168-2198)
         if err_valid <= err_valid_best and cost_valid <= cost_valid_best:

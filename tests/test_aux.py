@@ -139,3 +139,38 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     a = fixed["A"]
     np.testing.assert_allclose(a, np.round(a / step) * step, atol=1e-7)
     assert os.path.exists(os.path.join(path, "dictionary.json"))
+
+
+def test_similarity_analysis_in_trainer(tmp_path):
+    from qmann_tpu.data import load_task
+    from qmann_tpu.train import train_task
+    cfg = QmannConfig(num_itr=2, verbose=False, en_similarity_analysis=True,
+                      similarity_analysis_dir=str(tmp_path))
+    data = load_task("qa1_single-supporting-fact",
+                     "/root/reference/MemN2N/dataset/en_10k_parsed",
+                     limit_train=100, limit_test=20)
+    train_task(cfg, data)
+    content = (tmp_path / "softmax_input_0to24.csv").read_text()
+    assert len(content.splitlines()) > 0
+
+
+def test_optimizer_variants_finite(rng):
+    import jax.numpy as jnp
+    from qmann_tpu.train.optim import (
+        adamax_update, rmsprop_update, sgd_momentum_update,
+    )
+    cfg = QmannConfig(verbose=False)
+    p = {"A": jnp.ones((3, 4)), "C": jnp.ones((3, 4)), "B": jnp.ones((3, 4)),
+         "W": jnp.ones((4, 3)), "H": jnp.ones((3, 3))}
+    g = {k: jnp.full_like(v, 0.5) for k, v in p.items()}
+    zeros = {k: jnp.zeros_like(v) for k, v in p.items()}
+    p1, v = sgd_momentum_update(p, g, zeros, jnp.float32(0.1),
+                                jnp.float32(4.0), cfg)
+    p2, m = rmsprop_update(p, g, zeros, jnp.float32(0.1), jnp.float32(4.0),
+                           cfg)
+    p3, st = adamax_update(p, g, (zeros, zeros), jnp.float32(0.1),
+                           jnp.float32(4.0), cfg, t=1)
+    for pp in (p1, p2, p3):
+        for k, val in pp.items():
+            assert np.isfinite(np.asarray(val)).all(), k
+            assert not np.array_equal(np.asarray(val), np.asarray(p[k]))
