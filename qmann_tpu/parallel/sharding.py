@@ -87,7 +87,8 @@ def make_sharded_train_step(cfg: QmannConfig, mesh: Mesh):
             return loss, met
 
         grads, met = jax.grad(loss_fn, has_aux=True)(params)
-        params = sgd_update(params, grads, lr, size_b, cfg)
+        params = sgd_update(params, grads, lr, size_b, cfg,
+                            scale_dim=batch["mask"].shape[-1])
         params = zero_null_columns(params, cfg)
         return params, met.cost, met.matches
 

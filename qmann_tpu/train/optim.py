@@ -47,11 +47,14 @@ def _clip_scale(g: jax.Array, max_norm: float) -> jax.Array:
 
 
 def sgd_update(params: Params, grads: Params, lr: jax.Array,
-               batch_size: jax.Array, cfg: QmannConfig) -> Params:
+               batch_size: jax.Array, cfg: QmannConfig,
+               scale_dim: int = 1) -> Params:
     """One reference SGD step on the whole parameter pytree.  grads are
     summed over the batch; batch_size is the live sample count of the
     batch (the last batch divides by its remainder,
-    MemN2N/MemN2N.c:1222-1227)."""
+    MemN2N/MemN2N.c:1222-1227).  scale_dim is the attention-score length
+    used in the scale layer's batch*dim divisor (cuda_scale_w_up,
+    lib/layer_cuda.cu:4884)."""
     lam = jnp.float32(cfg.lambda_)
     new: Params = {}
     for name, w in params.items():
@@ -67,10 +70,15 @@ def sgd_update(params: Params, grads: Params, lr: jax.Array,
             fmt = cfg.fmt_ds_ans if name == "W" else cfg.fmt_w[0]
             g = float_quant(g, fmt)
         if name == "scale":
-            # per-hop scalar; divisor batch*dim with dim = the score length;
-            # the reference uses the live n_sen — we use the padded memory
-            # length via cfg.max_sen_len is not known here, so the trainer
-            # pre-divides; here plain lr/batch (cfg default has EN_SC_ATT off)
+            # scale layer: divisor batch*dim (the reference uses the last
+            # sample's live n_sen as dim; the padded memory length is the
+            # batched analog), no gradient clipping (cuda_scale_w_up,
+            # lib/layer_cuda.cu:4857-4900)
+            new[name] = (w - lr / (batch_size * jnp.float32(scale_dim)) * g
+                         + lr * lam * w)
+            continue
+        if name in ("maxout_w", "maxout_b"):
+            # maxout trial parameters: plain SGD, no clip
             new[name] = w - lr / batch_size * g + lr * lam * w
             continue
         if name == "H":

@@ -86,7 +86,8 @@ def train_epoch(params: Params, batches, lr, cfg: QmannConfig,
             return loss, met
 
         grads, met = jax.grad(loss_fn, has_aux=True)(params)
-        params = sgd_update(params, grads, lr, batch["size_b"], cfg)
+        params = sgd_update(params, grads, lr, batch["size_b"], cfg,
+                            scale_dim=batch["mask"].shape[-1])
         params = zero_null_columns(params, cfg)
         return params, (met.cost, met.matches)
 
