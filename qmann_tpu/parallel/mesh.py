@@ -44,3 +44,32 @@ def make_mesh(n_devices: Optional[int] = None,
     arr = np.asarray(devices).reshape(n // model_parallelism,
                                       model_parallelism)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (auto-detecting on
+    TPU pods).  Call once per host before any jax op; afterwards
+    make_hybrid_mesh() lays out the axes so "model" stays within a host
+    (ICI) and "data" spans hosts (DCN)."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_hybrid_mesh(model_parallelism: int = 4) -> Mesh:
+    """Pod-scale mesh: the "model" axis (memory-bank shards + vocab TP)
+    is confined to intra-host ICI neighbors, the "data" axis (DP) crosses
+    hosts over DCN — the layout the north star prescribes
+    (SURVEY.md section 2.6)."""
+    from jax.experimental import mesh_utils
+    import jax
+    n = len(jax.devices())
+    assert n % model_parallelism == 0, (n, model_parallelism)
+    arr = mesh_utils.create_device_mesh(
+        (n // model_parallelism, model_parallelism))
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

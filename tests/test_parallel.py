@@ -141,3 +141,11 @@ def test_sharded_attention_gradients_flow(rng):
     assert np.isfinite(np.asarray(dc)).all()
     assert np.isfinite(np.asarray(du)).all()
     assert np.abs(np.asarray(dc)).sum() > 0
+
+
+def test_hybrid_mesh_shapes():
+    _requires_8_devices()
+    from qmann_tpu.parallel.mesh import make_hybrid_mesh
+    mesh = make_hybrid_mesh(model_parallelism=4)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
