@@ -363,7 +363,12 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
         parsed train sets missing, e.g. qa2/qa3/qa5) — the two parsers
         produce identical samples (tests/test_data.py).  A further
         fallback to the sibling 1k 'en' directory covers qa3, whose 10k
-        raw train file is also absent from the reference checkout."""
+        raw train file is also absent from the reference checkout.
+
+        qa_joint (EN_JOINT, define.h:152): the joint dataset is absent from
+        the reference checkout entirely; when missing it is synthesized by
+        concatenating tasks 1-20 (interleaved per task in task order,
+        which is what the joint file would contain)."""
         parsed_path = os.path.join(data_path, f"{name}_{split}_set")
         if not use_raw and os.path.exists(parsed_path):
             return parse_parsed_file(parsed_path, max_sen_len, limit)
@@ -375,6 +380,13 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
         for cand in candidates:
             if os.path.exists(cand):
                 return parse_raw_file(cand, max_sen_len, limit)
+        if name == "qa_joint":
+            from qmann_tpu.config import BABI_TASKS
+            joint: List[Sample] = []
+            per_task = None if limit is None else max(1, limit // 20)
+            for t in BABI_TASKS[:20]:
+                joint.extend(_load(t, split, per_task))
+            return joint if limit is None else joint[:limit]
         raise FileNotFoundError(
             f"no parsed or raw data for task {name} ({split}); tried "
             f"{parsed_path} and {candidates}")

@@ -96,10 +96,19 @@ def load_task_native(task_name: str, data_path: str, *,
                          pad_dict=pad_dict, pad_line=pad_line,
                          train_task_name=train_task_name, **py_kwargs)
     tt = train_task_name or task_name
-    train_file, train_raw = _resolve_files(task_name, data_path, raw_path,
-                                           use_raw, "train", tt)
-    test_file, test_raw = _resolve_files(task_name, data_path, raw_path,
-                                         use_raw, "test", tt)
+    try:
+        train_file, train_raw = _resolve_files(task_name, data_path, raw_path,
+                                               use_raw, "train", tt)
+        test_file, test_raw = _resolve_files(task_name, data_path, raw_path,
+                                             use_raw, "test", tt)
+    except FileNotFoundError:
+        # e.g. qa_joint, which the Python loader synthesizes
+        return load_task(task_name, data_path, use_raw=use_raw,
+                         raw_path=raw_path, enable_time=enable_time,
+                         max_sen_len=max_sen_len, rate_valid=rate_valid,
+                         limit_train=limit_train, limit_test=limit_test,
+                         pad_dict=pad_dict, pad_line=pad_line,
+                         train_task_name=train_task_name, **py_kwargs)
     h = lib.qm_load(train_file.encode(), int(train_raw), test_file.encode(),
                     int(test_raw), max_sen_len, int(enable_time),
                     -1 if limit_train is None else limit_train,

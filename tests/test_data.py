@@ -154,3 +154,18 @@ def test_time_noise_vectorization_shapes(rng):
     # every live row still has exactly one TE bit within range
     te_block = v.memory[:, :, dims.dim_dict:]
     assert (te_block.sum(axis=-1)[:, :3] == 1.0).all()
+
+
+@needs_data
+def test_joint_task_loads_real_joint_data():
+    """EN_JOINT: the real qa_joint_train.txt ships in the 1k 'en' dir (the
+    10k dir has only the joint test file); training reads it while testing
+    reads the per-task file (MemN2N/MemN2N.c:520-533).  The joint file is
+    ordered task-by-task, so a 2500-sample head spans several tasks."""
+    td = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                   limit_train=2500, limit_test=40,
+                   train_task_name="qa_joint")
+    assert len(td.train) + len(td.valid) == 2500
+    assert len(td.test) == 40
+    # joint vocabulary exceeds any single task's
+    assert td.dims.dim_dict > 48
