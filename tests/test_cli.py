@@ -1,0 +1,53 @@
+"""CLI surface tests (subprocess, CPU-forced environment)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PARSED = "/root/reference/MemN2N/dataset/en_10k_parsed"
+
+needs_data = pytest.mark.skipif(not os.path.isdir(PARSED),
+                                reason="reference dataset not present")
+
+
+def run_cli(args, timeout=420):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # skip remote-TPU plugin registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-m"] + args, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout,
+                          env=env)
+
+
+def test_cli_help_lists_reference_positionals():
+    r = run_cli(["qmann_tpu", "--help"], timeout=120)
+    assert r.returncode == 0
+    for word in ("num_task_loop", "task_start", "task_end", "iwl"):
+        assert word in r.stdout
+
+
+@needs_data
+def test_cli_smoke_run_writes_results(tmp_path):
+    r = run_cli(["qmann_tpu", "1", "1", "1", "5", "--epochs", "1",
+                 "--max-samples", "120", "--max-test-samples", "30",
+                 "--out-dir", str(tmp_path), "--quiet"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "err_test" in r.stdout
+    csv = (tmp_path / "result.csv").read_text()
+    assert "ind_data_set" in csv and csv.strip().splitlines()[-1][0] == "1"
+
+
+@needs_data
+def test_sweep_smoke_emits_json(tmp_path):
+    r = run_cli(["qmann_tpu.bench.sweep", "--tasks", "1", "--iwl", "5",
+                 "--loops", "1", "--epochs", "1", "--max-samples", "120",
+                 "--max-test-samples", "30", "--out-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines()
+            if l.startswith("{")]
+    assert any("err_test_avg" in row for row in rows)
+    assert (tmp_path / "summary.json").exists()
