@@ -218,11 +218,17 @@ struct Dataset {
     std::memset(answer, 0, split.size() * row * sizeof(float));
     for (size_t si = 0; si < split.size(); si++) {
       const Sample& s = split[si];
-      int ns = (int)s.sentences.size();
+      // test/valid stories can exceed the train-derived max_line; the
+      // reference truncates every split to it keeping the MOST RECENT
+      // sentences (sample_constructor(&path_test, max_line, ...),
+      // MemN2N/MemN2N.c:585)
+      int total = (int)s.sentences.size();
+      int drop = total > max_line ? total - max_line : 0;
+      int ns = total - drop;
       n_sen[si] = ns;
       float* mem = memory + si * mem_stride;
-      for (int j = 0; j < ns && j < max_line; j++) {
-        const auto& sent = s.sentences[j];
+      for (int j = 0; j < ns; j++) {
+        const auto& sent = s.sentences[drop + j];
         int keep = enable_time ? std::min((int)sent.size(), dim_word - 1)
                                : std::min((int)sent.size(), dim_word);
         for (int k = 0; k < keep; k++) {

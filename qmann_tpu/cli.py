@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--joint", action="store_true",
                    help="EN_JOINT: train once on qa_joint, test per task")
+    p.add_argument("--pe", action="store_true",
+                   help="EN_PE: position encoding on the question vector")
+    p.add_argument("--no-time", action="store_true",
+                   help="disable temporal encoding (EN_TIME=false)")
+    p.add_argument("--use-raw", action="store_true",
+                   help="parse raw bAbI text even when parsed files exist")
+    p.add_argument("--rand-noise-time", type=float, default=0.0,
+                   help="RAND_NOISE_TIME temporal-noise augmentation rate")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route hot-op forwards through the Pallas kernels")
     p.add_argument("--data-path",
                    default="/root/reference/MemN2N/dataset/en_10k_parsed")
     p.add_argument("--raw-data-path",
@@ -92,6 +102,11 @@ def config_from_args(args) -> QmannConfig:
         en_sample_shuffled=args.shuffle,
         en_save_best_model=args.save_best_model,
         en_joint=args.joint,
+        en_pe=args.pe,
+        en_time=not args.no_time,
+        use_raw_babi=args.use_raw,
+        rand_noise_time=args.rand_noise_time,
+        use_pallas=args.use_pallas,
         data_path=args.data_path,
         raw_data_path=args.raw_data_path,
         seed=args.seed,
@@ -122,48 +137,116 @@ def main(argv=None) -> int:
     from qmann_tpu.train import train_task
     from qmann_tpu.utils.profiling import PhaseProfiler
 
+    mesh = None
+    if args.mesh:
+        from qmann_tpu.parallel import make_mesh
+        parts = [int(x) for x in args.mesh.split(",")]
+        model_par = parts[1] if len(parts) > 1 else 1
+        mesh = make_mesh(n_devices=parts[0] * model_par,
+                         model_parallelism=model_par)
+        print(f"< Mesh : data={mesh.devices.shape[0]} "
+              f"model={mesh.devices.shape[1]} >")
+
     print(config_banner(cfg))
     results = []
     prof = PhaseProfiler()
-    for task_index in range(args.task_start, args.task_end + 1):
-        task = cfg.task_name(task_index)
-        print(f"< Task {task_index} : {task} >")
+
+    def save_ckpt(res, loop_cfg, dims, dictionary, tag):
+        from qmann_tpu.utils.checkpoint import save_checkpoint
+        # with --save-best-model the evaluated (and served) weights are
+        # the best snapshot, not the possibly-collapsed final epoch
+        params_to_save = (res.best_params
+                          if cfg.en_save_best_model and res.best_params
+                          else res.params)
+        save_checkpoint(args.checkpoint_dir, params_to_save, loop_cfg,
+                        dims, tag=tag, dictionary=dictionary)
+
+    if cfg.en_joint:
+        # EN_JOINT: train ONCE on qa_joint, then test every task with the
+        # jointly-trained model (done_joint_training guard,
+        # MemN2N/MemN2N.c:520-533)
+        from qmann_tpu.data.babi import load_test_split
+        from qmann_tpu.train import eval_split
         with prof.phase("data"):
             data = load_task(
-                task, cfg.data_path, raw_path=cfg.raw_data_path,
-                max_sen_len=cfg.max_sen_len,
+                "qa1_single-supporting-fact", cfg.data_path,
+                raw_path=cfg.raw_data_path, max_sen_len=cfg.max_sen_len,
                 rate_valid=cfg.rate_num_valid_sample,
                 rand_noise_time=cfg.rand_noise_time,
                 limit_train=args.max_samples,
                 limit_test=args.max_test_samples,
-                train_task_name=("qa_joint" if cfg.en_joint else None),
-            )
-        print(f"    Dim input : {data.dims.dim_input}")
-        print(f"    Dim emb   : {cfg.dim_emb}")
-        print(f"    Samples   : train {len(data.train)}, "
-              f"valid {len(data.valid)}, test {len(data.test)}")
-
-        loops = []
+                use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
+                train_task_name="qa_joint")
+        print(f"    Joint training: {len(data.train)} samples, "
+              f"dict {data.dims.dim_dict}")
+        joint_runs = []
         for loop in range(args.num_task_loop):
             loop_cfg = cfg.replace(seed=cfg.seed + loop)
             with prof.phase("train"):
-                res = train_task(loop_cfg, data)
-            loops.append(TaskLoopResult(
-                time_train=res.time_train,
-                err_train=res.history[-1].err_train if res.history else 1.0,
-                time_test=res.time_test,
-                err_test=res.err_test))
-            print(f"  loop {loop}: err_test {res.err_test:f} "
-                  f"(train {res.time_train:.1f}s, test {res.time_test:.3f}s)")
+                res = train_task(loop_cfg, data, mesh=mesh)
+            joint_runs.append(res)
             if args.checkpoint_dir:
-                from qmann_tpu.utils.checkpoint import save_checkpoint
-                save_checkpoint(args.checkpoint_dir, res.params, loop_cfg,
-                                data.dims, tag=f"{task}_loop{loop}",
-                                dictionary=data.dictionary)
-        results.append(TaskResult(task_index, loops))
-        errs = [l.err_test for l in loops]
-        print(f"  task {task_index} err_test avg/max/min: "
-              f"{np.mean(errs):f}/{np.max(errs):f}/{np.min(errs):f}")
+                save_ckpt(res, loop_cfg, data.dims, data.dictionary,
+                          f"qa_joint_loop{loop}")
+        for task_index in range(args.task_start, args.task_end + 1):
+            task = cfg.task_name(task_index)
+            test = load_test_split(task, cfg.data_path, data.dictionary,
+                                   data.dims, raw_path=cfg.raw_data_path,
+                                   use_raw=cfg.use_raw_babi,
+                                   enable_time=cfg.en_time,
+                                   max_sen_len=cfg.max_sen_len,
+                                   limit_test=args.max_test_samples)
+            loops = []
+            for loop, res in enumerate(joint_runs):
+                eval_params = (res.best_params if cfg.en_save_best_model
+                               and res.best_params else res.params)
+                _, err, _ = eval_split(eval_params, test, cfg)
+                loops.append(TaskLoopResult(res.time_train, 0.0, 0.0, err))
+            errs = [l.err_test for l in loops]
+            print(f"  task {task_index} ({task}) joint err_test "
+                  f"avg/max/min: {np.mean(errs):f}/{np.max(errs):f}/"
+                  f"{np.min(errs):f}")
+            results.append(TaskResult(task_index, loops))
+    else:
+        for task_index in range(args.task_start, args.task_end + 1):
+            task = cfg.task_name(task_index)
+            print(f"< Task {task_index} : {task} >")
+            with prof.phase("data"):
+                data = load_task(
+                    task, cfg.data_path, raw_path=cfg.raw_data_path,
+                    max_sen_len=cfg.max_sen_len,
+                    rate_valid=cfg.rate_num_valid_sample,
+                    rand_noise_time=cfg.rand_noise_time,
+                    limit_train=args.max_samples,
+                    limit_test=args.max_test_samples,
+                    use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
+                )
+            print(f"    Dim input : {data.dims.dim_input}")
+            print(f"    Dim emb   : {cfg.dim_emb}")
+            print(f"    Samples   : train {len(data.train)}, "
+                  f"valid {len(data.valid)}, test {len(data.test)}")
+
+            loops = []
+            for loop in range(args.num_task_loop):
+                loop_cfg = cfg.replace(seed=cfg.seed + loop)
+                with prof.phase("train"):
+                    res = train_task(loop_cfg, data, mesh=mesh)
+                loops.append(TaskLoopResult(
+                    time_train=res.time_train,
+                    err_train=(res.history[-1].err_train if res.history
+                               else 1.0),
+                    time_test=res.time_test,
+                    err_test=res.err_test))
+                print(f"  loop {loop}: err_test {res.err_test:f} "
+                      f"(train {res.time_train:.1f}s, "
+                      f"test {res.time_test:.3f}s)")
+                if args.checkpoint_dir:
+                    save_ckpt(res, loop_cfg, data.dims, data.dictionary,
+                              f"{task}_loop{loop}")
+            results.append(TaskResult(task_index, loops))
+            errs = [l.err_test for l in loops]
+            print(f"  task {task_index} err_test avg/max/min: "
+                  f"{np.mean(errs):f}/{np.max(errs):f}/{np.min(errs):f}")
 
     write_run_outputs(args.out_dir, cfg, results)
     if args.profile:

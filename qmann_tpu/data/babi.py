@@ -271,9 +271,16 @@ def vectorize(samples: Sequence[Sample], dictionary: Dictionary,
     use_noise = is_train and rand_noise_time != 0.0
     if use_noise and rng is None:
         rng = np.random.default_rng(0)
+    pe_w = position_encoding_weights(dims) if en_pe else None
 
     for si, s in enumerate(samples):
-        ns = len(s.sentences)
+        # test/valid stories can exceed the TRAIN-derived max_line; the
+        # reference truncates every split to it, keeping the most recent
+        # sentences (sample_constructor(&path_test, max_line, ...),
+        # MemN2N/MemN2N.c:585 with max_line from the train scan :544-551)
+        sentences = s.sentences[-dims.max_line:] \
+            if len(s.sentences) > dims.max_line else s.sentences
+        ns = len(sentences)
         n_sen[si] = ns
         if use_noise:
             n_noise = int(rng.integers(0, int(ns * rand_noise_time) + 1))
@@ -285,7 +292,7 @@ def vectorize(samples: Sequence[Sample], dictionary: Dictionary,
             # by default, RAND_NOISE_TIME=0.0 define.h:214)
             arr_te = np.minimum(arr_te, min(max_sen_len, dims.max_line) - 1)
             arr_te.sort()
-        for j, sent in enumerate(s.sentences):
+        for j, sent in enumerate(sentences):
             n_keep = min(len(sent), dims.dim_word - 1) if enable_time \
                 else min(len(sent), dims.dim_word)
             for w in sent[:n_keep]:
@@ -300,7 +307,6 @@ def vectorize(samples: Sequence[Sample], dictionary: Dictionary,
                 mem[si, j, te] = 1.0
         n_q = min(len(s.question), dims.dim_word - 1) if enable_time \
             else min(len(s.question), dims.dim_word)
-        pe_w = position_encoding_weights(dims) if en_pe else None
         for jq, w in enumerate(s.question[:n_q]):
             idx = dictionary.lookup(w)
             if idx >= 0:
@@ -345,6 +351,7 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
               rng: Optional[np.random.Generator] = None,
               dim_forced: bool = False, max_dict_len: int = 64,
               pad_dict: int = 0, pad_line: int = 0,
+              en_pe: bool = False,
               train_task_name: Optional[str] = None) -> TaskData:
     """Load one bAbI task end to end.
 
@@ -356,43 +363,12 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
     while testing reads the per-task file (MemN2N.c:520-533).
     """
     tt = train_task_name or task_name
-
-    def _load(name: str, split: str, limit):
-        """Prefer the parsed format; fall back to raw bAbI text when the
-        parsed file is absent (the reference dataset ships with several
-        parsed train sets missing, e.g. qa2/qa3/qa5) — the two parsers
-        produce identical samples (tests/test_data.py).  A further
-        fallback to the sibling 1k 'en' directory covers qa3, whose 10k
-        raw train file is also absent from the reference checkout.
-
-        qa_joint (EN_JOINT, define.h:152): the joint dataset is absent from
-        the reference checkout entirely; when missing it is synthesized by
-        concatenating tasks 1-20 (interleaved per task in task order,
-        which is what the joint file would contain)."""
-        parsed_path = os.path.join(data_path, f"{name}_{split}_set")
-        if not use_raw and os.path.exists(parsed_path):
-            return parse_parsed_file(parsed_path, max_sen_len, limit)
-        base = raw_path or data_path
-        candidates = [os.path.join(base, f"{name}_{split}.txt")]
-        if os.path.basename(base) != "en":
-            candidates.append(os.path.join(os.path.dirname(base), "en",
-                                           f"{name}_{split}.txt"))
-        for cand in candidates:
-            if os.path.exists(cand):
-                return parse_raw_file(cand, max_sen_len, limit)
-        if name == "qa_joint":
-            from qmann_tpu.config import BABI_TASKS
-            joint: List[Sample] = []
-            per_task = None if limit is None else max(1, limit // 20)
-            for t in BABI_TASKS[:20]:
-                joint.extend(_load(t, split, per_task))
-            return joint if limit is None else joint[:limit]
-        raise FileNotFoundError(
-            f"no parsed or raw data for task {name} ({split}); tried "
-            f"{parsed_path} and {candidates}")
-
-    train_samples = _load(tt, "train", limit_train)
-    test_samples = _load(task_name, "test", limit_test)
+    train_samples = load_samples(tt, "train", data_path, raw_path=raw_path,
+                                 use_raw=use_raw, max_sen_len=max_sen_len,
+                                 limit=limit_train)
+    test_samples = load_samples(task_name, "test", data_path,
+                                raw_path=raw_path, use_raw=use_raw,
+                                max_sen_len=max_sen_len, limit=limit_test)
 
     dictionary = Dictionary.build(train_samples)
     dims = compute_dims(train_samples, dictionary, enable_time,
@@ -404,7 +380,65 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
     n_train = len(train_samples) - n_valid
     tr = vectorize(train_samples[:n_train], dictionary, dims, enable_time,
                    rand_noise_time, is_train=True, rng=rng,
-                   max_sen_len=max_sen_len)
-    va = vectorize(train_samples[n_train:], dictionary, dims, enable_time)
-    te = vectorize(test_samples, dictionary, dims, enable_time)
+                   max_sen_len=max_sen_len, en_pe=en_pe)
+    va = vectorize(train_samples[n_train:], dictionary, dims, enable_time,
+                   en_pe=en_pe)
+    te = vectorize(test_samples, dictionary, dims, enable_time, en_pe=en_pe)
     return TaskData(tr, va, te, dims, dictionary)
+
+
+def load_samples(name: str, split: str, data_path: str, *,
+                 raw_path: Optional[str] = None, use_raw: bool = False,
+                 max_sen_len: int = 50,
+                 limit: Optional[int] = None) -> List[Sample]:
+    """Resolve and parse one task split.
+
+    Prefers the parsed format; falls back to raw bAbI text when the parsed
+    file is absent (the reference dataset ships with several parsed train
+    sets missing, e.g. qa2/qa3/qa5) — the two parsers produce identical
+    samples (tests/test_data.py).  A further fallback to the sibling 1k
+    'en' directory covers qa3, whose 10k raw train file is also absent.
+
+    qa_joint (EN_JOINT, define.h:152): the 1k 'en' directory ships the
+    real qa_joint files; if no joint file exists anywhere, the set is
+    synthesized by concatenating tasks 1-20 in task order."""
+    parsed_path = os.path.join(data_path, f"{name}_{split}_set")
+    if not use_raw and os.path.exists(parsed_path):
+        return parse_parsed_file(parsed_path, max_sen_len, limit)
+    base = raw_path or data_path
+    candidates = [os.path.join(base, f"{name}_{split}.txt")]
+    if os.path.basename(base) != "en":
+        candidates.append(os.path.join(os.path.dirname(base), "en",
+                                       f"{name}_{split}.txt"))
+    for cand in candidates:
+        if os.path.exists(cand):
+            return parse_raw_file(cand, max_sen_len, limit)
+    if name == "qa_joint":
+        from qmann_tpu.config import BABI_TASKS
+        joint: List[Sample] = []
+        per_task = None if limit is None else max(1, limit // 20)
+        for t in BABI_TASKS[:20]:
+            joint.extend(load_samples(t, split, data_path, raw_path=raw_path,
+                                      use_raw=use_raw,
+                                      max_sen_len=max_sen_len,
+                                      limit=per_task))
+        return joint if limit is None else joint[:limit]
+    raise FileNotFoundError(
+        f"no parsed or raw data for task {name} ({split}); tried "
+        f"{parsed_path} and {candidates}")
+
+
+def load_test_split(task_name: str, data_path: str, dictionary: Dictionary,
+                    dims: DataDims, *, raw_path: Optional[str] = None,
+                    use_raw: bool = False, enable_time: bool = True,
+                    max_sen_len: int = 50,
+                    limit_test: Optional[int] = None,
+                    en_pe: bool = False) -> VectorizedSplit:
+    """Vectorize one task's TEST split against an existing (e.g. joint)
+    dictionary and dims — the EN_JOINT flow trains once on qa_joint and
+    tests every task with that model (MemN2N/MemN2N.c:520-533,
+    :2241-2244)."""
+    samples = load_samples(task_name, "test", data_path, raw_path=raw_path,
+                           use_raw=use_raw, max_sen_len=max_sen_len,
+                           limit=limit_test)
+    return vectorize(samples, dictionary, dims, enable_time, en_pe=en_pe)

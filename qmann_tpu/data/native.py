@@ -88,7 +88,11 @@ def load_task_native(task_name: str, data_path: str, *,
                      train_task_name: Optional[str] = None,
                      **py_kwargs) -> TaskData:
     lib = _load_lib()
-    if lib is None:
+    # features only the Python vectorizer implements (noise augmentation,
+    # position encoding) force the fallback rather than being dropped
+    needs_python = (py_kwargs.get("rand_noise_time", 0.0) != 0.0
+                    or py_kwargs.get("en_pe", False))
+    if lib is None or needs_python:
         return load_task(task_name, data_path, use_raw=use_raw,
                          raw_path=raw_path, enable_time=enable_time,
                          max_sen_len=max_sen_len, rate_valid=rate_valid,

@@ -220,7 +220,9 @@ def encode_sign_magnitude(x: jax.Array, fmt: QFormat) -> tuple[jax.Array, jax.Ar
         hi = jnp.trunc(hi_scaled)
         rem = hi_scaled - hi                       # exact: < 1, f32 fraction bits
         lo = conv_mag(rem * np.float32(65536.0))   # conv applies to the low part
-        mag = (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+        # ADD (not OR): under ROUND_UP/ROUND_DOWN the low conversion can
+        # round to exactly 65536 and must carry into the high half
+        mag = (hi.astype(jnp.int32) << 16) + lo.astype(jnp.int32)
         if iwl + frac == 31:
             # scaled magnitude can reach exactly 2^31 (x == +/-2^iwl).  The
             # reference's conversion is asymmetric there: positive values
@@ -228,7 +230,10 @@ def encode_sign_magnitude(x: jax.Array, fmt: QFormat) -> tuple[jax.Array, jax.Ar
             # to INT_MIN whose ~v+1 magnitude wraps to 0 with the sign bit
             # set (lib/layer_cuda.h:246).  The int32 shift above wraps
             # (2^15 << 16) to INT_MIN; mask/patch both signs explicitly.
-            reach31 = hi >= np.float32(32768.0)
+            # The low-half carry (lo == 65536 under ROUND_UP) can also
+            # reach 2^31 when hi == 32767.
+            reach31 = (hi >= np.float32(32768.0)) | (
+                (hi == np.float32(32767.0)) & (lo >= np.float32(65536.0)))
             mag = jnp.where(reach31,
                             jnp.where(sign > 0, np.int32(0), np.int32(2**31 - 1)),
                             mag)

@@ -33,6 +33,9 @@ from qmann_tpu.serve.packet import IndexedSample
 class Request:
     sentences: List[List[str]]   # story (words)
     question: List[str]
+    # explicit per-sentence temporal-encoding indices (absolute input
+    # columns); None derives the default dim_dict + ns - j - 1
+    te_indices: Optional[List[int]] = None
     future: "Future[int]" = dataclasses.field(default_factory=Future)
 
 
@@ -75,19 +78,24 @@ class InferenceEngine:
         self._thread.join(timeout=10)
 
     def submit(self, sentences: Sequence[Sequence[str]],
-               question: Sequence[str]) -> "Future[int]":
-        req = Request([list(s) for s in sentences], list(question))
+               question: Sequence[str],
+               te_indices: Optional[Sequence[int]] = None) -> "Future[int]":
+        req = Request([list(s) for s in sentences], list(question),
+                      list(te_indices) if te_indices is not None else None)
         self._queue.put(req)
         return req.future
 
     def submit_indexed(self, sample: IndexedSample) -> "Future[int]":
-        """Accept a packet-stream sample (already word indices)."""
+        """Accept a packet-stream sample (already word indices).  The
+        temporal-encoding indices transmitted in the TYPE_*_SEN_DONE
+        packets are honored as-is (the reference streams them verbatim,
+        MemN2N/sample.c:607-620)."""
         words = self.dictionary.words
         sentences = [[words[i] for i in s if 0 <= i < len(words)]
                      for s in sample.sentences]
         question = [words[i] for i in sample.question
                     if 0 <= i < len(words)]
-        return self.submit(sentences, question)
+        return self.submit(sentences, question, te_indices=sample.te_indices)
 
     def answer_word(self, index: int) -> str:
         return self.dictionary.words[index]
@@ -100,14 +108,19 @@ class InferenceEngine:
         que = np.zeros((n, d.dim_input), np.float32)
         mask = np.zeros((n, d.max_line), bool)
         for bi, r in enumerate(reqs):
-            sents = r.sentences[-d.max_line:]
+            drop = max(0, len(r.sentences) - d.max_line)
+            sents = r.sentences[drop:]
+            te = r.te_indices[drop:] if r.te_indices is not None else None
             ns = len(sents)
             for j, sent in enumerate(sents):
                 for w in sent[:d.dim_word - 1]:
                     idx = self.dictionary.lookup(w)
                     if idx >= 0:
                         mem[bi, j, idx] += 1.0
-                mem[bi, j, d.dim_dict + ns - j - 1] = 1.0  # temporal enc.
+                if te is not None and j < len(te) and 0 <= te[j] < d.dim_input:
+                    mem[bi, j, te[j]] = 1.0   # transmitted temporal enc.
+                else:
+                    mem[bi, j, d.dim_dict + ns - j - 1] = 1.0
             mask[bi, :ns] = True
             for w in r.question[:d.dim_word - 1]:
                 idx = self.dictionary.lookup(w)
@@ -137,9 +150,15 @@ class InferenceEngine:
                         wave.append(nxt)
                 except queue.Empty:
                     deadline_passed = True
-            mem, que, mask = self._vectorize(wave)
-            preds = np.asarray(self._infer(self.params, jnp.asarray(mem),
-                                           jnp.asarray(que),
-                                           jnp.asarray(mask)))
+            try:
+                mem, que, mask = self._vectorize(wave)
+                preds = np.asarray(self._infer(self.params, jnp.asarray(mem),
+                                               jnp.asarray(que),
+                                               jnp.asarray(mask)))
+            except Exception as exc:  # fail the wave, keep serving
+                for r in wave:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+                continue
             for bi, r in enumerate(wave):
                 r.future.set_result(int(preds[bi]))

@@ -164,11 +164,14 @@ def lr_schedule(cfg: QmannConfig):
     num_itr_linear_start epochs when enabled) the softmax is removed and
     lr = LR/2; afterwards lr restarts at LR and halves every
     RATE_DECAY_STEP epochs (counted from the linear-start boundary,
-    excluding the boundary itself)."""
+    excluding the boundary itself).
+
+    With linear start the total run is extended to
+    NUM_ITR + NUM_ITR_LINEAR_START epochs (MemN2N/MemN2N.c:1037-1043)."""
     nls = cfg.num_itr_linear_start if cfg.en_linear_start else 0
     lr = cfg.learning_rate
     was_removed = False
-    for itr in range(cfg.num_itr):
+    for itr in range(cfg.num_itr + nls):
         if cfg.en_linear_start and itr < nls:
             yield itr, cfg.learning_rate / 2.0, True
             was_removed = True

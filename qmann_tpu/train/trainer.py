@@ -124,11 +124,30 @@ def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
     return costs, err, np.concatenate(preds) if preds else np.zeros(0, np.int32)
 
 
+def _shard_epoch_batches(mesh, batches):
+    """Place [NB, B, ...] epoch arrays on the mesh: batch over 'data',
+    the memory-sentence axis over 'model' (GSPMD derives the collectives
+    inside the scanned step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    specs = {
+        "memory": P(None, DATA_AXIS, MODEL_AXIS, None),
+        "question": P(None, DATA_AXIS, None),
+        "answer": P(None, DATA_AXIS, None),
+        "mask": P(None, DATA_AXIS, MODEL_AXIS),
+        "sample_mask": P(None, DATA_AXIS),
+        "size_b": P(None),
+    }
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in batches.items()}
+
+
 def train_task(cfg: QmannConfig, data: TaskData,
                params: Optional[Params] = None,
-               log=print) -> TrainResult:
+               mesh=None, log=print) -> TrainResult:
     """Full training run for one task (the reference's per-task loop body,
-    MemN2N/MemN2N.c:990-2238)."""
+    MemN2N/MemN2N.c:990-2238).  mesh: optional jax.sharding.Mesh — batches
+    are sharded over it and XLA partitions the scanned train step."""
     key = jax.random.PRNGKey(cfg.seed)
     if params is None:
         params = memn2n.init_params(cfg, data.dims, key)
@@ -136,6 +155,10 @@ def train_task(cfg: QmannConfig, data: TaskData,
     n_train = len(data.train)
     batches_np = _batched_arrays(data.train, cfg.size_batch)
     batches = {k: jnp.asarray(v) for k, v in batches_np.items()}
+    if mesh is not None:
+        from qmann_tpu.parallel.sharding import shard_params
+        params = shard_params(mesh, params)
+        batches = _shard_epoch_batches(mesh, batches)
 
     history: List[EpochMetrics] = []
     analyzer = None

@@ -17,23 +17,25 @@ import numpy as np
 
 
 class SimilarityAnalyzer:
-    """Accumulates per-hop softmax inputs/outputs and writes the
-    reference's four 25-epoch-bucket CSV pairs."""
-
-    BUCKETS = ((0, 24), (25, 49), (50, 74), (75, 99))
+    """Accumulates per-hop softmax inputs/outputs and writes
+    25-epoch-bucket CSV pairs (the reference hardcodes four buckets for
+    its 100-epoch runs, MemN2N/MemN2N.c:492-516; buckets here extend to
+    cover any num_itr)."""
 
     def __init__(self, out_dir: str = ".", num_itr: int = 100):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
+        self.buckets = tuple((lo, lo + 24)
+                             for lo in range(0, max(num_itr, 1), 25))
         self._files = {}
-        for lo, hi in self.BUCKETS:
+        for lo, hi in self.buckets:
             for kind in ("input", "output"):
                 path = os.path.join(out_dir, f"softmax_{kind}_{lo}to{hi}.csv")
                 open(path, "w").close()  # truncate like the reference
                 self._files[(kind, lo)] = path
 
     def _bucket(self, epoch: int) -> Optional[int]:
-        for lo, hi in self.BUCKETS:
+        for lo, hi in self.buckets:
             if lo <= epoch <= hi:
                 return lo
         return None
