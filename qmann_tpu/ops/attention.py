@@ -98,6 +98,24 @@ def unweighted_similarity(wa: jax.Array, wb: jax.Array, num_bit: int) -> jax.Arr
     return sim
 
 
+def gray_hamming_score(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
+                       round_mode: int = 3) -> jax.Array:
+    """The reference's gray-code Hamming experiment (kept capability,
+    SURVEY.md 2.1; commented at lib/layer_cuda.cu:427-432): map each
+    magnitude through bin2gray over bits [30-num_bit+2, 30], then take the
+    UNWEIGHTED similarity over the top num_bit bits and sum over the
+    embedding dimension.  Forward-only (the reference never wired a
+    backward for it)."""
+    from qmann_tpu.numerics import bin2gray
+    wm = _encode_words(m, iwl, round_mode)
+    wu = _encode_words(u, iwl, round_mode)[..., None, :]
+    lo, hi = 30 - num_bit + 2, 30
+    gm = bin2gray(wm & np.int32(0x7FFFFFFF), lo, hi)
+    gu = bin2gray(wu & np.int32(0x7FFFFFFF), lo, hi)
+    sim = unweighted_similarity(gm, gu, num_bit)
+    return jnp.sum(sim, axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def hamming_score(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
                   const_scale: int = DEFAULT_CONST_SCALE,

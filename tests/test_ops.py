@@ -345,3 +345,15 @@ def test_binarize_and_maxout():
         np.asarray(binarize(jnp.asarray([-0.5, 0.0, 0.5]))), [-1, 1, 1])
     x = jnp.asarray([[1.0, 5.0, 2.0, 0.0]], jnp.float32)
     np.testing.assert_array_equal(np.asarray(maxout(x, 2)), [[5.0, 2.0]])
+
+
+def test_gray_hamming_score_capability(rng):
+    from qmann_tpu.ops.attention import gray_hamming_score
+    m = jnp.asarray(rng.normal(0, 1, (4, 3)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1, (3,)).astype(np.float32))
+    s = gray_hamming_score(m[None], u[None], iwl=2, num_bit=8)
+    assert s.shape == (1, 4)
+    assert np.isfinite(np.asarray(s)).all()
+    # identical inputs achieve the maximum similarity count
+    s_same = gray_hamming_score(jnp.broadcast_to(u, (1, 4, 3)), u[None], 2, 8)
+    assert (np.asarray(s_same) == 7 * 3).all()
