@@ -57,15 +57,18 @@ def main(argv=None) -> int:
                                           cfg, rm)
         _, err_valid, _ = eval_split(params, data.valid, cfg)
         out = memn2n.forward(params, pm, pq, pmask, cfg)
-        score_stats = overflow_stats(
-            np.asarray(out.scores)[np.broadcast_to(
-                np.asarray(pmask)[None], out.scores.shape)],
-            cfg.fmt_att[0])
+        from qmann_tpu.numerics import fixed_max_float
+        live_scores = np.asarray(out.scores)[np.broadcast_to(
+            np.asarray(pmask)[None], out.scores.shape)]
+        score_stats = overflow_stats(live_scores, cfg.fmt_att[0])
+        # quantized scores clip AT the bound, so count values pinned there
+        maxf = float(fixed_max_float(cfg.fmt_att[0].iwl, cfg.fmt_att[0].frac))
+        pinned = float((np.abs(live_scores) >= maxf).mean())
         rec = {
             "itr": itr,
             "err_train": round(1.0 - int(match) / len(data.train), 4),
             "err_valid": round(err_valid, 4),
-            "scores_saturated": round(score_stats["saturated"], 4),
+            "scores_pinned_at_bound": round(pinned, 4),
             "scores_max_abs": round(score_stats["max_abs"], 2),
         }
         for k, v in params.items():
