@@ -35,7 +35,12 @@ from qmann_tpu.ops.attention import (
     INT32_SIGN_BIT, _bit, _common_mode_preprocess, _encode_words,
 )
 
-DEFAULT_BATCH_TILE = 8
+# Default batch tile: sized so the largest scratch (the [TB, O, I] product
+# lattice at O, I <= ~128/192) stays well under VMEM while amortizing grid
+# overhead.  At the reference's tiny dims, XLA's fusion path outperforms
+# these kernels (measured on v5e: ~660k vs ~272k q/s at tile 8), so the
+# Pallas backend is opt-in (QmannConfig.use_pallas).
+DEFAULT_BATCH_TILE = 32
 
 
 def _cdiv(a: int, b: int) -> int:
