@@ -29,14 +29,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from qmann_tpu.cli import _enable_compilation_cache
+    _enable_compilation_cache()
     from qmann_tpu.config import QmannConfig
-    from qmann_tpu.data import load_task
+    from qmann_tpu.data.native import load_task_native
     from qmann_tpu.models import memn2n
     from qmann_tpu.ops import cross_entropy
 
     cfg = QmannConfig(verbose=False)
-    data = load_task("qa1_single-supporting-fact", cfg.data_path,
-                     raw_path=cfg.raw_data_path)
+    data = load_task_native("qa1_single-supporting-fact", cfg.data_path,
+                            raw_path=cfg.raw_data_path)
     dims = data.dims
     params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
 

@@ -69,7 +69,26 @@ def main(argv=None) -> int:
     epoch_s = (time.perf_counter() - t0) / args.train_iters
     train_sps = len(data.train) / epoch_s
 
+    # ---- serving-engine throughput (continuous batching waves) ----
+    from qmann_tpu.serve import InferenceEngine
+    eng = InferenceEngine(params, cfg, data.dims, data.dictionary,
+                          batch_size=256, max_wait_ms=0.5).start()
+    try:
+        words = data.dictionary.words
+        story = [[words[1], words[2], words[3]]]
+        question = [words[1]]
+        # warm the engine's compiled path
+        eng.submit(story, question).result(120)
+        t0 = time.perf_counter()
+        futs = [eng.submit(story, question) for _ in range(2048)]
+        for f in futs:
+            f.result(120)
+        serve_qps = 2048 / (time.perf_counter() - t0)
+    finally:
+        eng.stop()
+
     print(json.dumps({"inference_qps": round(qps, 1),
+                      "serving_engine_qps": round(serve_qps, 1),
                       "train_samples_per_sec": round(train_sps, 1),
                       "epoch_seconds": round(epoch_s, 3),
                       "devices": len(jax.devices())}))
