@@ -42,8 +42,8 @@ def main() -> int:
     dims = data.dims
     params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
 
-    batch = 1000  # the whole qa1 test split per step
     test = data.test
+    batch = min(1000, len(test))  # the whole qa1 test split per step
     memory = jnp.asarray(test.memory[:batch])
     question = jnp.asarray(test.question[:batch])
     answer = jnp.asarray(test.answer[:batch])

@@ -69,6 +69,19 @@ std::vector<std::string> tokenize(const std::string& s) {
   return out;
 }
 
+// strtol-style tolerant parse: returns fallback on malformed input so
+// corrupt data files degrade to empty/short datasets instead of throwing
+// (exceptions must never cross the extern "C" ABI into ctypes).
+long parse_long(const std::string& s, long fallback = -1) {
+  try {
+    size_t pos = 0;
+    long v = std::stol(s, &pos);
+    return pos == 0 ? fallback : v;
+  } catch (...) {
+    return fallback;
+  }
+}
+
 std::string strip(const std::string& s) {
   size_t b = s.find_first_not_of(" \t\r\n");
   if (b == std::string::npos) return "";
@@ -88,7 +101,7 @@ std::vector<Sample> parse_parsed(const std::string& path, int max_sen_len,
   size_t i = 0;
   while (i < lines.size() && strip(lines[i]) != "+NS+") i++;
   if (i + 1 >= lines.size()) return {};
-  long n_samples = std::stol(strip(lines[i + 1]));
+  long n_samples = parse_long(strip(lines[i + 1]), 0);
   if (limit >= 0 && limit < n_samples) n_samples = limit;
   i += 2;
 
@@ -97,8 +110,10 @@ std::vector<Sample> parse_parsed(const std::string& path, int max_sen_len,
     while (i < lines.size() && strip(lines[i]) != "+I+") i++;
     if (i >= lines.size()) break;
     i += 2;  // +I+, index
-    if (i >= lines.size() || strip(lines[i]) != "+S+") break;
-    int n_sen = std::stoi(strip(lines[i + 1]));
+    if (i + 1 >= lines.size() || strip(lines[i]) != "+S+") break;
+    long n_sen_l = parse_long(strip(lines[i + 1]), -1);
+    if (n_sen_l < 0) break;
+    int n_sen = (int)n_sen_l;
     i += 2;
     Sample s;
     for (int k = 0; k < n_sen && i < lines.size(); k++, i++) {
@@ -108,10 +123,10 @@ std::vector<Sample> parse_parsed(const std::string& path, int max_sen_len,
       s.sentences.erase(s.sentences.begin(),
                         s.sentences.begin() + (n_sen - max_sen_len));
     }
-    if (i >= lines.size() || strip(lines[i]) != "+Q+") break;
+    if (i + 1 >= lines.size() || strip(lines[i]) != "+Q+") break;
     s.question = split_ws(lines[i + 1]);
     i += 2;
-    if (i >= lines.size() || strip(lines[i]) != "+A+") break;
+    if (i + 1 >= lines.size() || strip(lines[i]) != "+A+") break;
     s.answer = split_ws(lines[i + 1]);
     i += 2;
     samples.push_back(std::move(s));
@@ -132,7 +147,8 @@ std::vector<Sample> parse_raw(const std::string& path, int max_sen_len,
     if (line.empty()) continue;
     size_t sp = line.find(' ');
     if (sp == std::string::npos) continue;
-    long nid = std::stol(line.substr(0, sp));
+    long nid = parse_long(line.substr(0, sp), -1);
+    if (nid < 0) continue;  // malformed line id: skip
     std::string rest = line.substr(sp + 1);
     if (nid == 1) story.clear();
     size_t tab = rest.find('\t');
@@ -268,17 +284,23 @@ extern "C" {
 void* qm_load(const char* train_path, int train_is_raw, const char* test_path,
               int test_is_raw, int max_sen_len, int enable_time,
               int limit_train, int limit_test, int pad_dict, int pad_line) {
-  auto* d = new Dataset();
-  d->train = train_is_raw ? parse_raw(train_path, max_sen_len, limit_train)
-                          : parse_parsed(train_path, max_sen_len, limit_train);
-  d->test = test_is_raw ? parse_raw(test_path, max_sen_len, limit_test)
-                        : parse_parsed(test_path, max_sen_len, limit_test);
-  if (d->train.empty() && d->test.empty()) {
-    delete d;
+  // never let a C++ exception unwind across the C ABI into ctypes
+  try {
+    auto* d = new Dataset();
+    d->train = train_is_raw
+                   ? parse_raw(train_path, max_sen_len, limit_train)
+                   : parse_parsed(train_path, max_sen_len, limit_train);
+    d->test = test_is_raw ? parse_raw(test_path, max_sen_len, limit_test)
+                          : parse_parsed(test_path, max_sen_len, limit_test);
+    if (d->train.empty() && d->test.empty()) {
+      delete d;
+      return nullptr;
+    }
+    d->build(enable_time != 0, pad_dict, pad_line);
+    return d;
+  } catch (...) {
     return nullptr;
   }
-  d->build(enable_time != 0, pad_dict, pad_line);
-  return d;
 }
 
 void qm_free(void* h) { delete static_cast<Dataset*>(h); }

@@ -176,7 +176,7 @@ def main(argv=None) -> int:
                 limit_train=args.max_samples,
                 limit_test=args.max_test_samples,
                 use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
-                train_task_name="qa_joint")
+                en_pe=cfg.en_pe, train_task_name="qa_joint")
         print(f"    Joint training: {len(data.train)} samples, "
               f"dict {data.dims.dim_dict}")
         joint_runs = []
@@ -220,6 +220,7 @@ def main(argv=None) -> int:
                     limit_train=args.max_samples,
                     limit_test=args.max_test_samples,
                     use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
+                    en_pe=cfg.en_pe,
                 )
             print(f"    Dim input : {data.dims.dim_input}")
             print(f"    Dim emb   : {cfg.dim_emb}")

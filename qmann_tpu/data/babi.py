@@ -111,7 +111,8 @@ def parse_raw_file(path: str, max_sen_len: int = 50,
             if int(nid_str) == 1:
                 story = []
             if "\t" in rest:
-                q, a, _supporting = rest.split("\t")[:3]
+                fields = rest.split("\t")
+                q, a = fields[0], fields[1]  # supporting-fact field optional
                 q_tokens = _tokenize(q)[:-1]       # drop trailing '?'
                 substory = [s for s in story if s]
                 if len(substory) > max_sen_len:
@@ -387,6 +388,26 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
     return TaskData(tr, va, te, dims, dictionary)
 
 
+def resolve_task_file(name: str, split: str, data_path: str, *,
+                      raw_path: Optional[str] = None,
+                      use_raw: bool = False):
+    """Single source of truth for the data fallback chain
+    (parsed -> raw 10k -> sibling raw 1k 'en'); returns
+    (path, is_raw) or None.  Shared by the Python and native loaders."""
+    parsed_path = os.path.join(data_path, f"{name}_{split}_set")
+    if not use_raw and os.path.exists(parsed_path):
+        return parsed_path, False
+    base = raw_path or data_path
+    candidates = [os.path.join(base, f"{name}_{split}.txt")]
+    if os.path.basename(base) != "en":
+        candidates.append(os.path.join(os.path.dirname(base), "en",
+                                       f"{name}_{split}.txt"))
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand, True
+    return None
+
+
 def load_samples(name: str, split: str, data_path: str, *,
                  raw_path: Optional[str] = None, use_raw: bool = False,
                  max_sen_len: int = 50,
@@ -402,17 +423,12 @@ def load_samples(name: str, split: str, data_path: str, *,
     qa_joint (EN_JOINT, define.h:152): the 1k 'en' directory ships the
     real qa_joint files; if no joint file exists anywhere, the set is
     synthesized by concatenating tasks 1-20 in task order."""
-    parsed_path = os.path.join(data_path, f"{name}_{split}_set")
-    if not use_raw and os.path.exists(parsed_path):
-        return parse_parsed_file(parsed_path, max_sen_len, limit)
-    base = raw_path or data_path
-    candidates = [os.path.join(base, f"{name}_{split}.txt")]
-    if os.path.basename(base) != "en":
-        candidates.append(os.path.join(os.path.dirname(base), "en",
-                                       f"{name}_{split}.txt"))
-    for cand in candidates:
-        if os.path.exists(cand):
-            return parse_raw_file(cand, max_sen_len, limit)
+    resolved = resolve_task_file(name, split, data_path, raw_path=raw_path,
+                                 use_raw=use_raw)
+    if resolved is not None:
+        path, is_raw = resolved
+        parse = parse_raw_file if is_raw else parse_parsed_file
+        return parse(path, max_sen_len, limit)
     if name == "qa_joint":
         from qmann_tpu.config import BABI_TASKS
         joint: List[Sample] = []
@@ -424,8 +440,8 @@ def load_samples(name: str, split: str, data_path: str, *,
                                       limit=per_task))
         return joint if limit is None else joint[:limit]
     raise FileNotFoundError(
-        f"no parsed or raw data for task {name} ({split}); tried "
-        f"{parsed_path} and {candidates}")
+        f"no parsed or raw data for task {name} ({split}) under "
+        f"{data_path} / {raw_path}")
 
 
 def load_test_split(task_name: str, data_path: str, dictionary: Dictionary,

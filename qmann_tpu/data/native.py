@@ -18,6 +18,7 @@ import numpy as np
 
 from qmann_tpu.data.babi import (
     DataDims, Dictionary, TaskData, VectorizedSplit, load_task,
+    resolve_task_file,
 )
 
 _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
@@ -64,18 +65,11 @@ def _load_lib():
 def _resolve_files(task_name: str, data_path: str, raw_path: Optional[str],
                    use_raw: bool, split: str, train_task: str):
     name = train_task if split == "train" else task_name
-    parsed = os.path.join(data_path, f"{name}_{split}_set")
-    if not use_raw and os.path.exists(parsed):
-        return parsed, False
-    base = raw_path or data_path
-    cands = [os.path.join(base, f"{name}_{split}.txt")]
-    if os.path.basename(base) != "en":
-        cands.append(os.path.join(os.path.dirname(base), "en",
-                                  f"{name}_{split}.txt"))
-    for c in cands:
-        if os.path.exists(c):
-            return c, True
-    raise FileNotFoundError(f"no data for {name} {split}")
+    resolved = resolve_task_file(name, split, data_path, raw_path=raw_path,
+                                 use_raw=use_raw)
+    if resolved is None:
+        raise FileNotFoundError(f"no data for {name} {split}")
+    return resolved
 
 
 def load_task_native(task_name: str, data_path: str, *,

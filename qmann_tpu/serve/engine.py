@@ -107,22 +107,26 @@ class InferenceEngine:
         mem = np.zeros((n, d.max_line, d.dim_input), np.float32)
         que = np.zeros((n, d.dim_input), np.float32)
         mask = np.zeros((n, d.max_line), bool)
+        en_time = self.cfg.en_time
+        n_words = d.dim_word - 1 if en_time else d.dim_word
         for bi, r in enumerate(reqs):
             drop = max(0, len(r.sentences) - d.max_line)
             sents = r.sentences[drop:]
             te = r.te_indices[drop:] if r.te_indices is not None else None
             ns = len(sents)
             for j, sent in enumerate(sents):
-                for w in sent[:d.dim_word - 1]:
+                for w in sent[:n_words]:
                     idx = self.dictionary.lookup(w)
                     if idx >= 0:
                         mem[bi, j, idx] += 1.0
-                if te is not None and j < len(te) and 0 <= te[j] < d.dim_input:
-                    mem[bi, j, te[j]] = 1.0   # transmitted temporal enc.
-                else:
-                    mem[bi, j, d.dim_dict + ns - j - 1] = 1.0
+                if en_time:
+                    if (te is not None and j < len(te)
+                            and 0 <= te[j] < d.dim_input):
+                        mem[bi, j, te[j]] = 1.0  # transmitted temporal enc.
+                    else:
+                        mem[bi, j, d.dim_dict + ns - j - 1] = 1.0
             mask[bi, :ns] = True
-            for w in r.question[:d.dim_word - 1]:
+            for w in r.question[:n_words]:
                 idx = self.dictionary.lookup(w)
                 if idx >= 0:
                     que[bi, idx] += 1.0

@@ -27,7 +27,9 @@ class PacketHandler(socketserver.BaseRequestHandler):
 
         def flusher():
             # answers return in submission order, one packet per sample
-            # (the stream_read contract, MemN2N/MemN2N.c:3273-3284)
+            # (the stream_read contract, MemN2N/MemN2N.c:3273-3284).
+            # A failed wave must not break the one-packet-per-sample
+            # framing: failed samples answer with the NULL index (0).
             while not done.is_set() or pending:
                 with lock:
                     fut = pending.pop(0) if pending else None
@@ -35,7 +37,11 @@ class PacketHandler(socketserver.BaseRequestHandler):
                     done.wait(0.005)
                     continue
                 try:
-                    self.request.sendall(encode_response(fut.result(60)))
+                    answer = fut.result(600)  # first compile can be minutes
+                except Exception:
+                    answer = 0  # NULL word — the protocol has no error code
+                try:
+                    self.request.sendall(encode_response(answer))
                 except (BrokenPipeError, ConnectionResetError):
                     return
 

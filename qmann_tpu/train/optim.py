@@ -83,7 +83,11 @@ def sgd_update(params: Params, grads: Params, lr: jax.Array,
             continue
         if name == "H":
             max_norm = cfg.max_grad_l2_norm / 2.0
-            lr_eff = lr * jnp.float32(0.1)
+            # the 0.1 lin_map factor is specific to the layer-wise tying
+            # branch (MemN2N/MemN2N.c:1758); the adjacent-tying branch
+            # updates lin_map with plain lr (MemN2N.c:1661)
+            lr_eff = (lr * jnp.float32(0.1)
+                      if cfg.type_weight_tying == 2 else lr)
         else:
             max_norm = cfg.max_grad_l2_norm
             lr_eff = lr

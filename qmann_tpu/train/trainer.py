@@ -164,8 +164,10 @@ def train_task(cfg: QmannConfig, data: TaskData,
     analyzer = None
     if cfg.en_similarity_analysis:
         from qmann_tpu.utils.analysis import SimilarityAnalyzer
+        total_epochs = cfg.num_itr + (cfg.num_itr_linear_start
+                                      if cfg.en_linear_start else 0)
         analyzer = SimilarityAnalyzer(cfg.similarity_analysis_dir,
-                                      cfg.num_itr)
+                                      total_epochs)
     best_params = None
     err_valid_best, cost_valid_best = float("inf"), float("inf")
     ind_early_stopping = 0
@@ -181,6 +183,8 @@ def train_task(cfg: QmannConfig, data: TaskData,
                 data.train.answer_index[perm])
             batches = {k: jnp.asarray(v) for k, v in
                        _batched_arrays(shuffled, cfg.size_batch).items()}
+            if mesh is not None:
+                batches = _shard_epoch_batches(mesh, batches)
         params, cost_train, match_train = train_epoch(
             params, batches, jnp.float32(lr), cfg, remove_softmax)
         err_train = 1.0 - int(match_train) / max(n_train, 1)
