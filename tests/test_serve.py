@@ -125,3 +125,47 @@ def test_packet_tcp_server_roundtrip():
     finally:
         server.shutdown()
         eng.stop()
+
+
+def test_packet_client_end_to_end_stream():
+    """Full serving loop: engine + TCP server + PacketClient streaming
+    multiple samples, answers in order."""
+    from qmann_tpu.serve.client import PacketClient
+    from qmann_tpu.serve.server import serve
+
+    cfg, dims, d, params = _toy_setup()
+    eng = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                          max_wait_ms=1.0).start()
+    server = serve(eng, port=0)
+    host, port = server.server_address
+    try:
+        idx = IndexedSample(
+            sentences=[[d.lookup("mary"), d.lookup("went"), d.lookup("home")]],
+            te_indices=[dims.dim_dict],
+            question=[d.lookup("where"), d.lookup("is"), d.lookup("mary")],
+            answer=[d.lookup("home")])
+        with PacketClient(host, port, timeout=120) as client:
+            answers = client.query_samples([idx] * 5)
+        assert len(answers) == 5
+        assert len(set(answers)) == 1
+    finally:
+        server.shutdown()
+        eng.stop()
+
+
+def test_samples_from_split_roundtrip():
+    from qmann_tpu.serve.client import samples_from_split
+    from qmann_tpu.data import compute_dims, vectorize
+    from qmann_tpu.data.babi import Sample as S, Dictionary as D
+    raw = [S([["mary", "went", "home"], ["john", "went", "out"]],
+             ["where", "is", "mary"], ["home"])]
+    d = D.build(raw)
+    dims = compute_dims(raw, d)
+    v = vectorize(raw, d, dims)
+    back = samples_from_split(v, dims)
+    assert len(back) == 1
+    s = back[0]
+    assert sorted(s.sentences[0]) == sorted(
+        d.lookup(w) for w in ["mary", "went", "home"])
+    assert s.te_indices == [dims.dim_dict + 1, dims.dim_dict]
+    assert s.answer == [d.lookup("home")]
