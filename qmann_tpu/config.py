@@ -137,13 +137,23 @@ class QmannConfig:
     @property
     def fmt_w(self) -> Tuple[QFormat, ...]:
         """Per-hop weight format iwl_w[]/frac_w[]; EN_MQ gives hop 0
-        iwl+1/frac-1 and hop 2 iwl-1/frac+1 (MemN2N/MemN2N.c:748-754)."""
+        iwl+1/frac-1 and hop 2 iwl-1/frac+1 (MemN2N/MemN2N.c:748-754).
+
+        The reference stores iwl/frac as unsigned int, so at the extreme
+        operating points its EN_MQ arithmetic UNDERFLOWS (iwl=0 makes
+        hop 2's iwl_w wrap to UINT_MAX — sweep_fixed.sh runs exactly that
+        config into undefined behavior; likewise iwl=7 wraps hop 0's
+        frac).  Here the per-hop adjustment is skipped when it would
+        leave the valid range — a documented sane-ification of reference
+        UB."""
         fmts = [[self.iwl, self.frac] for _ in range(self.num_hops)]
         if self.en_mq and not self.binary_mode and self.num_hops >= 3:
-            fmts[0][0] += 1
-            fmts[0][1] -= 1
-            fmts[2][0] -= 1
-            fmts[2][1] += 1
+            if fmts[0][1] - 1 >= 0:
+                fmts[0][0] += 1
+                fmts[0][1] -= 1
+            if fmts[2][0] - 1 >= 0:
+                fmts[2][0] -= 1
+                fmts[2][1] += 1
         return tuple(self._fmt(i, f) for i, f in fmts)
 
     @property

@@ -109,3 +109,24 @@ def test_engine_honors_transmitted_te_indices():
                                         te_indices=custom_te)])
     assert mem[0, 0, custom_te[0]] == 1.0
     assert mem[0, 1, custom_te[1]] == 1.0
+
+
+@pytest.mark.parametrize("iwl", [0, 7])
+def test_en_mq_extreme_operating_points_stay_valid(iwl):
+    """sweep_fixed.sh runs iwl=0 with EN_MQ on; the reference's unsigned
+    arithmetic underflows there (iwl_w[2] = 0-1 wraps to UINT_MAX).  The
+    config must clamp to valid formats and the model must run."""
+    import jax
+    from qmann_tpu.data import DataDims
+    from qmann_tpu.models import memn2n
+    cfg = QmannConfig(iwl=iwl, dim_emb=8, num_hops=3, verbose=False)
+    for f in cfg.fmt_w:
+        assert f.iwl >= 0 and f.frac >= 0 and f.iwl + f.frac <= 31
+    dims = DataDims(dim_dict=10, max_line=4, max_word=4, dim_word=5,
+                    dim_input=14)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    mem = jnp.zeros((2, 4, 14), jnp.float32)
+    que = jnp.ones((2, 14), jnp.float32)
+    mask = jnp.ones((2, 4), bool)
+    out = memn2n.forward(params, mem, que, mask, cfg)
+    assert np.isfinite(np.asarray(out.logits)).all()
