@@ -135,9 +135,9 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     for h in range(cfg.num_hops):
         a_w, c_w, h_w = _hop_weights(params, cfg, h)
         m = qembed_mat(memory, a_w, fmt_w[h], quantized=q,
-                       backend=backend)                       # [B, M, D]
+                       backend=backend, integer_inputs=True)  # [B, M, D]
         c = qembed_mat(memory, c_w, fmt_w[h], quantized=q,
-                       backend=backend)                       # [B, M, D]
+                       backend=backend, integer_inputs=True)  # [B, M, D]
 
         if cfg.en_cosine_sim and cfg.attention_mode in (1, 2):
             # EN_COSINE_SIM (define.h:200; _cuda_normalize_vec,

@@ -42,7 +42,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from qmann_tpu.numerics import QFormat, float_quant
+from qmann_tpu.numerics import QFormat, fixed_max_float, float_quant
 
 
 def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
@@ -120,9 +120,10 @@ qmatvec.defvjp(_qmatvec_fwd, _qmatvec_bwd)
 # qembed_mat: M = S @ A^T  (dense_mat forward, lib/layer_cuda.cu:3512-3569)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def qembed_mat(s: jax.Array, a: jax.Array, fmt: QFormat,
-               quantized: bool = True, backend: str = "jnp") -> jax.Array:
+               quantized: bool = True, backend: str = "jnp",
+               integer_inputs: bool = False) -> jax.Array:
     """Memory embedding: s [..., M, I] (bag-of-words rows) x a [D, I]
     -> [..., M, D], with dense_mat's single Q-format applied to both
     operands, each product, and the output (cuda_dense_mat_fwd ->
@@ -130,11 +131,37 @@ def qembed_mat(s: jax.Array, a: jax.Array, fmt: QFormat,
 
     This op carries the framework's largest intermediate (the
     [B, M, D, I] product lattice); backend="pallas" keeps it entirely in
-    VMEM by treating the B*M rows as the batch of the qmatvec kernel."""
-    return _qembed_mat_impl(s, a, fmt, quantized, backend)
+    VMEM by treating the B*M rows as the batch of the qmatvec kernel.
+
+    integer_inputs=True (bag-of-words rows) enables an exact MXU fast
+    path when no per-product re-quantization can bite (see
+    _integer_input_fast_path_ok); falls back dynamically otherwise."""
+    return _qembed_mat_impl(s, a, fmt, quantized, backend, integer_inputs)
 
 
-def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp"):
+def _integer_input_fast_path_ok(s, a, fmt: QFormat):
+    """Exactness condition for collapsing the per-product-quantized
+    contraction into one matmul when the inputs are small nonnegative
+    INTEGERS (bag-of-words counts):
+
+      * Q(count, fmt) == count            (count <= maxf, trunc exact)
+      * count * wq is on the 2^-frac grid (integer times grid value) and
+        within f32 exactness (counts*2^(iwl+frac) << 2^24)
+      * Q(count * wq, fmt) == count * wq  (no product saturates:
+        max_count * max|wq| <= maxf)
+
+    Under these, every per-product re-quantization (CUDA_FIXED_MUL,
+    lib/layer_cuda.h:258) is the identity, so the sum of quantized
+    products equals the plain matmul of counts with quantized weights —
+    bit-for-bit, but on the MXU instead of an elementwise lattice."""
+    maxf = fixed_max_float(fmt.iwl, fmt.frac)
+    max_s = jnp.max(s)
+    max_wq = jnp.max(jnp.abs(float_quant(a, fmt)))
+    return (max_s <= maxf) & (max_s * max_wq <= maxf)
+
+
+def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp",
+                     integer_inputs=False):
     if not quantized:
         return jnp.einsum("...mi,di->...md", s, a,
                           preferred_element_type=jnp.float32)
@@ -144,15 +171,30 @@ def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp"):
         flat = s.reshape((-1, s.shape[-1]))
         out = qmatvec_pallas(a, flat, fmt, fmt)
         return out.reshape(lead + (a.shape[0],))
-    prod = _qproducts(s[..., :, None, :], a, fmt, fmt, fmt)  # [...,M,D,I]
-    return float_quant(jnp.sum(prod, axis=-1), fmt)
+
+    def slow(_):
+        prod = _qproducts(s[..., :, None, :], a, fmt, fmt, fmt)  # [...,M,D,I]
+        return float_quant(jnp.sum(prod, axis=-1), fmt)
+
+    if not integer_inputs or fmt.is_binary:
+        return slow(None)
+
+    def fast(_):
+        aq = float_quant(a, fmt)
+        return float_quant(
+            jnp.einsum("...mi,di->...md", s, aq,
+                       preferred_element_type=jnp.float32), fmt)
+
+    return jax.lax.cond(_integer_input_fast_path_ok(s, a, fmt), fast, slow,
+                        None)
 
 
-def _qembed_mat_fwd(s, a, fmt, quantized, backend):
-    return _qembed_mat_impl(s, a, fmt, quantized, backend), (s, a)
+def _qembed_mat_fwd(s, a, fmt, quantized, backend, integer_inputs):
+    return (_qembed_mat_impl(s, a, fmt, quantized, backend, integer_inputs),
+            (s, a))
 
 
-def _qembed_mat_bwd(fmt, quantized, backend, res, g):
+def _qembed_mat_bwd(fmt, quantized, backend, integer_inputs, res, g):
     s, a = res
     # dense_mat_bwd: A_del += grad^T S in float
     # (_cuda_mat_trans_mat_product_accum, lib/layer_cuda.cu:637-690)

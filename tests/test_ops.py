@@ -357,3 +357,30 @@ def test_gray_hamming_score_capability(rng):
     # identical inputs achieve the maximum similarity count
     s_same = gray_hamming_score(jnp.broadcast_to(u, (1, 4, 3)), u[None], 2, 8)
     assert (np.asarray(s_same) == 7 * 3).all()
+
+
+@pytest.mark.parametrize("scale_w", [0.1, 1.0, 20.0])
+def test_qembed_integer_fast_path_is_exact(rng, scale_w):
+    """With integer BoW inputs the MXU fast path must agree bit-for-bit
+    with the product-lattice path across non-saturating and saturating
+    weight scales (the dynamic guard picks the correct branch)."""
+    fmt = QFormat(5, 2)
+    s = rng.integers(0, 4, (5, 9)).astype(np.float32)
+    a = (rng.normal(0, scale_w, (6, 9))).astype(np.float32)
+    fast = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=True)
+    slow = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_qembed_fast_path_low_bit_saturation(rng):
+    # iwl=0: maxf < 1 so even count=1 saturates -> guard must take slow
+    fmt = QFormat(0, 7)
+    s = rng.integers(0, 3, (4, 6)).astype(np.float32)
+    a = rng.normal(0, 0.3, (5, 6)).astype(np.float32)
+    fast = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=True)
+    slow = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
