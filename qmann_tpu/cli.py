@@ -117,11 +117,14 @@ def config_from_args(args) -> QmannConfig:
 def _enable_compilation_cache():
     """Persist compiled executables across processes — the first TPU
     compile through the remote tunnel takes minutes; cached reruns start
-    instantly."""
+    instantly.  The cache is keyed per platform: CPU artifacts can be
+    AOT-compiled on a different machine type (the remote compile
+    service), and loading those locally risks SIGILL."""
     import jax
     try:
+        platform = jax.default_backend()
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/qmann_jax_cache")
+                          f"/tmp/qmann_jax_cache_{platform}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
