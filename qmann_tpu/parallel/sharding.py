@@ -35,11 +35,21 @@ from qmann_tpu.train.optim import sgd_update, zero_null_columns
 Params = Dict[str, jax.Array]
 
 
+def _axis_if_divisible(mesh: Mesh, axis_name: str, dim: int):
+    """Shard a dimension over a mesh axis only when it divides evenly;
+    otherwise replicate that dimension (the reference's tiny task dims —
+    e.g. qa1's 30-word vocab — do not always divide the mesh)."""
+    size = mesh.shape[axis_name]
+    return axis_name if dim % size == 0 else None
+
+
 def param_shardings(mesh: Mesh, params: Params) -> Dict[str, NamedSharding]:
     specs = {}
     for name, v in params.items():
         if name == "W":
-            specs[name] = NamedSharding(mesh, P(MODEL_AXIS, None))
+            specs[name] = NamedSharding(
+                mesh, P(_axis_if_divisible(mesh, MODEL_AXIS, v.shape[0]),
+                        None))
         elif name == "E" and v.ndim == 3:
             specs[name] = NamedSharding(mesh, P(None, None, None))
         else:
@@ -47,24 +57,28 @@ def param_shardings(mesh: Mesh, params: Params) -> Dict[str, NamedSharding]:
     return specs
 
 
-def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+def batch_shardings(mesh: Mesh,
+                    batch: Dict[str, jax.Array]) -> Dict[str, NamedSharding]:
+    """Shardings for [B, ...] batch tensors; the batch and memory axes are
+    sharded only when they divide the mesh axes."""
+    b = _axis_if_divisible(mesh, DATA_AXIS, batch["question"].shape[0])
+    m = _axis_if_divisible(mesh, MODEL_AXIS, batch["mask"].shape[-1])
     return {
-        "memory": NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None)),
-        "question": NamedSharding(mesh, P(DATA_AXIS, None)),
-        "answer": NamedSharding(mesh, P(DATA_AXIS, None)),
-        "mask": NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS)),
-        "sample_mask": NamedSharding(mesh, P(DATA_AXIS)),
+        "memory": NamedSharding(mesh, P(b, m, None)),
+        "question": NamedSharding(mesh, P(b, None)),
+        "answer": NamedSharding(mesh, P(b, None)),
+        "mask": NamedSharding(mesh, P(b, m)),
+        "sample_mask": NamedSharding(mesh, P(b)),
     }
 
 
 def shard_params(mesh: Mesh, params: Params) -> Params:
-    return {k: jax.device_put(v, s)
-            for (k, v), s in zip(params.items(),
-                                 param_shardings(mesh, params).values())}
+    specs = param_shardings(mesh, params)
+    return {k: jax.device_put(v, specs[k]) for k, v in params.items()}
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-    shardings = batch_shardings(mesh)
+    shardings = batch_shardings(mesh, batch)
     return {k: jax.device_put(jnp.asarray(v), shardings[k])
             if k in shardings else jnp.asarray(v)
             for k, v in batch.items()}

@@ -127,15 +127,19 @@ def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
 def _shard_epoch_batches(mesh, batches):
     """Place [NB, B, ...] epoch arrays on the mesh: batch over 'data',
     the memory-sentence axis over 'model' (GSPMD derives the collectives
-    inside the scanned step)."""
+    inside the scanned step).  Axes that do not divide the mesh stay
+    replicated (the reference's tiny per-task dims don't always divide)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from qmann_tpu.parallel.sharding import _axis_if_divisible
+    b = _axis_if_divisible(mesh, DATA_AXIS, batches["question"].shape[1])
+    m = _axis_if_divisible(mesh, MODEL_AXIS, batches["mask"].shape[-1])
     specs = {
-        "memory": P(None, DATA_AXIS, MODEL_AXIS, None),
-        "question": P(None, DATA_AXIS, None),
-        "answer": P(None, DATA_AXIS, None),
-        "mask": P(None, DATA_AXIS, MODEL_AXIS),
-        "sample_mask": P(None, DATA_AXIS),
+        "memory": P(None, b, m, None),
+        "question": P(None, b, None),
+        "answer": P(None, b, None),
+        "mask": P(None, b, m),
+        "sample_mask": P(None, b),
         "size_b": P(None),
     }
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))

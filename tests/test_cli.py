@@ -51,3 +51,21 @@ def test_sweep_smoke_emits_json(tmp_path):
             if l.startswith("{")]
     assert any("err_test_avg" in row for row in rows)
     assert (tmp_path / "summary.json").exists()
+
+
+@needs_data
+def test_cli_mesh_sharded_training(tmp_path):
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra)
+    r = subprocess.run(
+        [sys.executable, "-m", "qmann_tpu", "1", "1", "1", "5",
+         "--epochs", "1", "--max-samples", "120", "--max-test-samples", "24",
+         "--mesh", "2,4", "--out-dir", str(tmp_path), "--quiet"],
+        cwd=REPO, capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mesh : data=2 model=4" in r.stdout
+    assert "err_test" in r.stdout
