@@ -123,6 +123,12 @@ def _enable_compilation_cache():
     import jax
     try:
         platform = jax.default_backend()
+        if platform == "cpu":
+            # CPU AOT artifacts in this environment can originate from the
+            # remote compile service's machine type; loading them locally
+            # warns about feature mismatches and risks SIGILL — skip the
+            # persistent cache for CPU runs (they compile in seconds).
+            return
         jax.config.update("jax_compilation_cache_dir",
                           f"/tmp/qmann_jax_cache_{platform}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
