@@ -69,3 +69,20 @@ def test_cli_mesh_sharded_training(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Mesh : data=2 model=4" in r.stdout
     assert "err_test" in r.stdout
+
+
+@needs_data
+@pytest.mark.slow
+def test_cli_joint_trains_once_tests_per_task(tmp_path):
+    r = run_cli(["qmann_tpu", "1", "1", "3", "5", "--joint",
+                 "--epochs", "1", "--max-samples", "240",
+                 "--max-test-samples", "30", "--out-dir", str(tmp_path),
+                 "--quiet"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # trains the joint model exactly once...
+    assert r.stdout.count("Joint training:") == 1
+    # ...then reports every requested task
+    for t in (1, 2, 3):
+        assert f"task {t} (" in r.stdout
+    csv = (tmp_path / "result.csv").read_text()
+    assert csv.strip().splitlines()[-1].startswith("3,")
