@@ -76,6 +76,13 @@ def main(argv=None) -> int:
     total = len(jax.devices())
     if args.devices:
         counts = [int(x) for x in args.devices.split(",")]
+        bad = [c for c in counts if c > total]
+        if bad:
+            # make_mesh would silently truncate to the available devices,
+            # reporting an efficiency number for hardware that wasn't used
+            print(f"error: requested device counts {bad} exceed the "
+                  f"{total} available device(s)", file=sys.stderr)
+            return 2
     else:
         counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= total]
     base = None

@@ -157,7 +157,13 @@ def _integer_input_fast_path_ok(s, a, fmt: QFormat):
     maxf = fixed_max_float(fmt.iwl, fmt.frac)
     max_s = jnp.max(s)
     max_wq = jnp.max(jnp.abs(float_quant(a, fmt)))
-    return (max_s <= maxf) & (max_s * max_wq <= maxf)
+    # f32-exactness: every product and every partial row-sum must sit on
+    # the 2^-frac grid with < 2^24 grid units, so f32 accumulation in any
+    # order (MXU tiling included) is exact and order-independent.
+    max_row_units = (jnp.max(jnp.sum(s, axis=-1)) * max_wq
+                     * jnp.float32(2.0 ** fmt.frac))
+    return ((max_s <= maxf) & (max_s * max_wq <= maxf)
+            & (max_row_units < jnp.float32(2.0 ** 24)))
 
 
 def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp",
@@ -181,9 +187,13 @@ def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp",
 
     def fast(_):
         aq = float_quant(a, fmt)
+        # HIGHEST keeps the TPU matmul in full f32 (the default precision
+        # lowers f32 operands to bf16 passes, which would round wide
+        # Q-format weights and break bit-exactness with the slow path).
         return float_quant(
             jnp.einsum("...mi,di->...md", s, aq,
-                       preferred_element_type=jnp.float32), fmt)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST), fmt)
 
     return jax.lax.cond(_integer_input_fast_path_ok(s, a, fmt), fast, slow,
                         None)

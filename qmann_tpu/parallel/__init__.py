@@ -1,12 +1,13 @@
 from qmann_tpu.parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
 from qmann_tpu.parallel.sharding import (
-    param_shardings, batch_shardings, shard_params, shard_batch,
-    make_sharded_train_step, make_sharded_eval_step,
+    axis_if_divisible, param_shardings, batch_shardings, shard_params,
+    shard_batch, make_sharded_train_step, make_sharded_eval_step,
 )
 from qmann_tpu.parallel.distributed import memory_sharded_attention_read
 
 __all__ = [
     "make_mesh", "DATA_AXIS", "MODEL_AXIS",
+    "axis_if_divisible",
     "param_shardings", "batch_shardings", "shard_params", "shard_batch",
     "make_sharded_train_step", "make_sharded_eval_step",
     "memory_sharded_attention_read",

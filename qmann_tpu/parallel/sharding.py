@@ -35,7 +35,7 @@ from qmann_tpu.train.optim import sgd_update, zero_null_columns
 Params = Dict[str, jax.Array]
 
 
-def _axis_if_divisible(mesh: Mesh, axis_name: str, dim: int):
+def axis_if_divisible(mesh: Mesh, axis_name: str, dim: int):
     """Shard a dimension over a mesh axis only when it divides evenly;
     otherwise replicate that dimension (the reference's tiny task dims —
     e.g. qa1's 30-word vocab — do not always divide the mesh)."""
@@ -48,7 +48,7 @@ def param_shardings(mesh: Mesh, params: Params) -> Dict[str, NamedSharding]:
     for name, v in params.items():
         if name == "W":
             specs[name] = NamedSharding(
-                mesh, P(_axis_if_divisible(mesh, MODEL_AXIS, v.shape[0]),
+                mesh, P(axis_if_divisible(mesh, MODEL_AXIS, v.shape[0]),
                         None))
         elif name == "E" and v.ndim == 3:
             specs[name] = NamedSharding(mesh, P(None, None, None))
@@ -61,8 +61,8 @@ def batch_shardings(mesh: Mesh,
                     batch: Dict[str, jax.Array]) -> Dict[str, NamedSharding]:
     """Shardings for [B, ...] batch tensors; the batch and memory axes are
     sharded only when they divide the mesh axes."""
-    b = _axis_if_divisible(mesh, DATA_AXIS, batch["question"].shape[0])
-    m = _axis_if_divisible(mesh, MODEL_AXIS, batch["mask"].shape[-1])
+    b = axis_if_divisible(mesh, DATA_AXIS, batch["question"].shape[0])
+    m = axis_if_divisible(mesh, MODEL_AXIS, batch["mask"].shape[-1])
     return {
         "memory": NamedSharding(mesh, P(b, m, None)),
         "question": NamedSharding(mesh, P(b, None)),

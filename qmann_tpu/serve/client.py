@@ -48,7 +48,13 @@ class PacketClient:
         while len(got) < want:
             chunk = self._sock.recv(4096)
             if not chunk:
-                break
+                # the reference's stream_read blocks until NUM_TEST answer
+                # packets arrive (MemN2N.c:3273-3284); a short stream means
+                # the server died — surface it, never report a partial
+                # error rate as if it covered every sample
+                raise ConnectionError(
+                    f"server closed after {len(got) // 2} of "
+                    f"{len(samples)} answers")
             got += chunk
         return decode_response(got[:want])
 
@@ -80,19 +86,18 @@ def samples_from_split(split, dims) -> List[IndexedSample]:
 
 
 def main(argv=None) -> int:
+    from qmann_tpu.config import BABI_TASKS, QmannConfig
+
+    defaults = QmannConfig()
     p = argparse.ArgumentParser(prog="qmann_tpu.serve.client")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--task", type=int, default=1)
     p.add_argument("--limit", type=int, default=100)
-    p.add_argument("--data-path",
-                   default="/root/reference/MemN2N/dataset/en_10k_parsed")
-    p.add_argument("--raw-data-path",
-                   default="/root/reference/MemN2N/dataset/"
-                           "tasks_1-20_v1-2/en-10k")
+    p.add_argument("--data-path", default=defaults.data_path)
+    p.add_argument("--raw-data-path", default=defaults.raw_data_path)
     args = p.parse_args(argv)
 
-    from qmann_tpu.config import BABI_TASKS
     from qmann_tpu.data.native import load_task_native
     data = load_task_native(BABI_TASKS[args.task - 1], args.data_path,
                             raw_path=args.raw_data_path,

@@ -131,9 +131,9 @@ def _shard_epoch_batches(mesh, batches):
     replicated (the reference's tiny per-task dims don't always divide)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-    from qmann_tpu.parallel.sharding import _axis_if_divisible
-    b = _axis_if_divisible(mesh, DATA_AXIS, batches["question"].shape[1])
-    m = _axis_if_divisible(mesh, MODEL_AXIS, batches["mask"].shape[-1])
+    from qmann_tpu.parallel.sharding import axis_if_divisible
+    b = axis_if_divisible(mesh, DATA_AXIS, batches["question"].shape[1])
+    m = axis_if_divisible(mesh, MODEL_AXIS, batches["mask"].shape[-1])
     specs = {
         "memory": P(None, b, m, None),
         "question": P(None, b, None),

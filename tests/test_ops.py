@@ -321,6 +321,19 @@ def test_cross_entropy_gradient_is_h_minus_y(rng):
     np.testing.assert_allclose(float(met.cost), -(h * y).sum(), rtol=1e-6)
 
 
+def test_squared_error_cost_and_grad(rng):
+    # se_run (lib/layer.c:3607-3622): cost = sum((h-y)^2)/2, grad = h-y.
+    from qmann_tpu.ops import squared_error
+    h = jnp.asarray(rng.normal(0, 1.0, (6,)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 1.0, (6,)).astype(np.float32))
+    cost, grad = jax.value_and_grad(squared_error)(h, y)
+    np.testing.assert_allclose(float(cost),
+                               0.5 * ((np.asarray(h) - np.asarray(y)) ** 2).sum(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.asarray(h) - np.asarray(y), rtol=1e-6)
+
+
 def test_qsum_quantized_forward_passthrough_backward(rng):
     fmt = QFormat(5, 2)
     a = jnp.asarray([1.3, -0.9], jnp.float32)
@@ -372,6 +385,35 @@ def test_qembed_integer_fast_path_is_exact(rng, scale_w):
     slow = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
                       integer_inputs=False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_qembed_fast_path_wide_format_guard(rng):
+    """Wide Q-formats (e.g. Q5.26 from --bw-wl 32) put row sums beyond
+    2^24 grid units, where one-matmul f32 accumulation is no longer exact;
+    the guard must route those to the lattice path even though the old
+    saturation-only conditions pass."""
+    from qmann_tpu.numerics import fixed_max_float
+    from qmann_tpu.ops.qlinear import _integer_input_fast_path_ok
+    fmt = QFormat(5, 26)
+    s = rng.integers(0, 8, (6, 24)).astype(np.float32)
+    a = rng.normal(0, 1.0, (5, 24)).astype(np.float32)
+    # the pre-fix guard (saturation checks only) would take the fast path
+    maxf = fixed_max_float(fmt.iwl, fmt.frac)
+    max_wq = float(np.max(np.abs(np.asarray(float_quant(jnp.asarray(a), fmt)))))
+    assert s.max() <= maxf and s.max() * max_wq <= maxf
+    # the fixed guard adds the 2^24-grid-unit accumulation bound
+    assert not bool(_integer_input_fast_path_ok(
+        jnp.asarray(s), jnp.asarray(a), fmt))
+    # a wide format whose row sums stay under 2^24 grid units still takes
+    # the fast path, and there it is bit-exact against the lattice
+    fmt2 = QFormat(5, 10)
+    assert bool(_integer_input_fast_path_ok(
+        jnp.asarray(s), jnp.asarray(a), fmt2))
+    fast2 = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt2,
+                       integer_inputs=True)
+    slow2 = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt2,
+                       integer_inputs=False)
+    np.testing.assert_array_equal(np.asarray(fast2), np.asarray(slow2))
 
 
 def test_qembed_fast_path_low_bit_saturation(rng):
