@@ -46,6 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-mq", action="store_true")
     p.add_argument("--binary-mode", action="store_true")
     p.add_argument("--shift-based-sm", action="store_true")
+    p.add_argument("--sc-att", action="store_true",
+                   help="learnable scale before the attention softmax "
+                        "(EN_SC_ATT, define.h:59)")
+    p.add_argument("--non-linearity", action="store_true",
+                   help="ReLU between hops (EN_NON_LINEARITY, define.h:294)")
+    p.add_argument("--grad-quant", action="store_true",
+                   help="quantize gradients in the update (EN_GRAD_QUANT)")
+    p.add_argument("--quant-mode", type=int, default=3, choices=[0, 1, 2, 3],
+                   help="rounding: 0 down, 1 up, 2 nearest-even, "
+                        "3 toward zero (EN_QUANT_MODE, define.h:35-47)")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="L2 coefficient lambda (define.h:238)")
     p.add_argument("--linear-start", action="store_true")
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--save-best-model", action="store_true")
@@ -98,6 +110,11 @@ def config_from_args(args) -> QmannConfig:
         en_mq=not args.no_mq,
         binary_mode=args.binary_mode,
         en_shift_based_sm=args.shift_based_sm,
+        en_sc_att=args.sc_att,
+        en_non_linearity=args.non_linearity,
+        en_grad_quant=args.grad_quant,
+        quant_mode=args.quant_mode,
+        lambda_=args.weight_decay,
         en_linear_start=args.linear_start,
         en_sample_shuffled=args.shuffle,
         en_save_best_model=args.save_best_model,

@@ -41,6 +41,21 @@ def test_cli_smoke_run_writes_results(tmp_path):
     assert "ind_data_set" in csv and csv.strip().splitlines()[-1][0] == "1"
 
 
+def test_cli_config_flag_plumbing():
+    """Every define.h knob exposed on the CLI reaches QmannConfig."""
+    from qmann_tpu.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["1", "1", "1", "5", "--sc-att", "--non-linearity", "--grad-quant",
+         "--quant-mode", "2", "--weight-decay", "0.001"])
+    cfg = config_from_args(args)
+    assert cfg.en_sc_att and cfg.en_non_linearity and cfg.en_grad_quant
+    assert cfg.quant_mode == 2 and cfg.lambda_ == 0.001
+    # defaults match define.h: truncation rounding, lambda 0
+    dflt = config_from_args(build_parser().parse_args(["1", "1", "1", "5"]))
+    assert dflt.quant_mode == 3 and dflt.lambda_ == 0.0
+    assert not (dflt.en_sc_att or dflt.en_non_linearity or dflt.en_grad_quant)
+
+
 @needs_data
 def test_sweep_smoke_emits_json(tmp_path):
     r = run_cli(["qmann_tpu.bench.sweep", "--tasks", "1", "--iwl", "5",
