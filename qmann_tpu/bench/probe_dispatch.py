@@ -1,0 +1,92 @@
+"""Measure how much of bench.py's per-step time is host-dispatch latency
+vs device compute: per-call dispatch (one jit call per batch, what
+bench.py times) against a device-resident lax.scan over K identical
+batches (zero host round-trips between batches).
+
+The gap quantifies the dispatch overhead of this environment's remote
+tunnel; the scan number is the chip's actual serving throughput when a
+host keeps its queue full (what qmann_tpu.serve.engine does).
+
+    python -m qmann_tpu.bench.probe_dispatch [--batch 1000] [--scan-k 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="qmann_tpu.bench.probe_dispatch")
+    p.add_argument("--batch", type=int, default=1000)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--scan-k", type=int, default=30)
+    args = p.parse_args(argv)
+
+    from qmann_tpu.cli import _enable_compilation_cache
+    _enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data.native import load_task_native
+    from qmann_tpu.models import memn2n
+    from qmann_tpu.ops import cross_entropy
+
+    cfg = QmannConfig(verbose=False)
+    data = load_task_native("qa1_single-supporting-fact", cfg.data_path,
+                            raw_path=cfg.raw_data_path)
+    params = memn2n.init_params(cfg, data.dims, jax.random.PRNGKey(0))
+    t = data.test
+    n = min(args.batch, len(t))
+    mem, que = jnp.asarray(t.memory[:n]), jnp.asarray(t.question[:n])
+    ans, mask = jnp.asarray(t.answer[:n]), jnp.asarray(t.mask[:n])
+
+    @jax.jit
+    def infer(params, mem, que, ans, mask):
+        out = memn2n.forward(params, mem, que, mask, cfg)
+        return cross_entropy(out.logits, ans).pred
+
+    pred = infer(params, mem, que, ans, mask)
+    jax.block_until_ready(pred)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred = infer(params, mem, que, ans, mask)
+    jax.block_until_ready(pred)
+    per_call = n * args.iters / (time.perf_counter() - t0)
+
+    k = args.scan_k
+
+    @jax.jit
+    def infer_scan(params, mem, que, ans, mask):
+        # thread a runtime-zero scalar derived from the previous batch's
+        # predictions into the next batch's query so XLA cannot hoist the
+        # loop-invariant forward out of the scan
+        def body(carry, _):
+            out = memn2n.forward(params, mem, que + carry, mask, cfg)
+            pred = cross_entropy(out.logits, ans).pred
+            feedback = jnp.where(pred[0] < 0, 1.0, 0.0).astype(que.dtype)
+            return feedback, pred
+        _, preds = jax.lax.scan(body, jnp.zeros((), que.dtype), None,
+                                length=k)
+        return preds
+
+    preds = infer_scan(params, mem, que, ans, mask)
+    jax.block_until_ready(preds)
+    t0 = time.perf_counter()
+    preds = infer_scan(params, mem, que, ans, mask)
+    jax.block_until_ready(preds)
+    scan_qps = n * k / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "per_call_qps": round(per_call, 1),
+        "device_scan_qps": round(scan_qps, 1),
+        "dispatch_overhead_x": round(scan_qps / per_call, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
