@@ -185,7 +185,7 @@ def oracle_hamming_score(m, u, iwl, num_bit, const_scale=-3):
     return out
 
 
-@pytest.mark.parametrize("iwl", [1, 2, 5])
+@pytest.mark.parametrize("iwl", [0, 1, 2, 5])
 def test_hamming_score_matches_oracle(rng, iwl):
     num_bit = 8
     act_fmt = QFormat(iwl, 7 - iwl)
@@ -248,7 +248,7 @@ def oracle_hamming_bwd(m, u, g, iwl, num_bit, const_scale=-3):
     return dm, du
 
 
-@pytest.mark.parametrize("iwl", [1, 5])
+@pytest.mark.parametrize("iwl", [0, 1, 5])
 def test_hamming_surrogate_gradient_matches_oracle(rng, iwl):
     num_bit = 8
     act_fmt = QFormat(iwl, 7 - iwl)
