@@ -156,6 +156,19 @@ def test_qa1_convergence_smoke_float():
 
 
 @pytest.mark.slow
+def test_qa1_convergence_smoke_hamming():
+    """Hamming attention (mode 3) with its surrogate gradient must train:
+    at iwl=1 (Q1.6, the sweep_fixed.sh regime where mode 3 is the paper's
+    winner) train error must clearly improve within a few epochs."""
+    cfg = QmannConfig(num_itr=6, verbose=False, attention_mode=3, iwl=1)
+    data = load_task("qa1_single-supporting-fact", PARSED,
+                     limit_train=2000, limit_test=200)
+    res = train_task(cfg, data)
+    assert res.history[-1].err_train < 0.85
+    assert res.history[-1].err_train < res.history[0].err_train
+
+
+@pytest.mark.slow
 def test_qa1_convergence_smoke_quantized():
     """Quantized Q5.2 (the run.sh default) learns more slowly — its
     quantization step is 0.25 — but must clearly beat chance (~5%) within

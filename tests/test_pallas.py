@@ -22,7 +22,7 @@ def test_qmatvec_pallas_matches_jnp(rng, iwl):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("iwl", [1, 5])
+@pytest.mark.parametrize("iwl", [0, 1, 5])
 def test_hamming_pallas_matches_jnp(rng, iwl):
     act = QFormat(iwl, 7 - iwl)
     m = float_quant(jnp.asarray(rng.normal(0, 2, (11, 6, 5)).astype(np.float32)), act)
