@@ -84,6 +84,18 @@ def encode_sample(sample: IndexedSample, train: bool = False) -> bytes:
     return struct.pack(f"<{len(words)}H", *words)
 
 
+def write_sample_bin(samples: Iterable[IndexedSample], path: str,
+                     train: bool = False) -> int:
+    """EN_SAMPLE_BIN_OUT analog (MemN2N/sample.c:576-687): dump a whole
+    split's packet stream to a binary file (the reference writes e.g.
+    qa1_test.bin to feed the FPGA testbench).  Returns bytes written."""
+    total = 0
+    with open(path, "wb") as f:
+        for s in samples:
+            total += f.write(encode_sample(s, train=train))
+    return total
+
+
 def encode_response(answer_index: int) -> bytes:
     """One response packet per sample (the stream_read contract,
     MemN2N/MemN2N.c:3273-3284)."""

@@ -41,6 +41,20 @@ def test_packet_stream_incremental_feed():
     assert len(out) == 1 and out[0].question == [3]
 
 
+def test_write_sample_bin_roundtrip(tmp_path):
+    # EN_SAMPLE_BIN_OUT analog: whole-split dump file decodes back
+    from qmann_tpu.serve import write_sample_bin
+    samples = [IndexedSample([[3, 4, 5], [6, 7]], [21, 20], [8, 9], [4]),
+               IndexedSample([[1, 2]], [10], [3], [2])]
+    path = tmp_path / "qa1_test.bin"
+    n = write_sample_bin(samples, str(path))
+    data = path.read_bytes()
+    assert n == len(data) and n > 0
+    decoded = PacketDecoder().feed(data)
+    assert [d.sentences for d in decoded] == [s.sentences for s in samples]
+    assert [d.answer for d in decoded] == [s.answer for s in samples]
+
+
 def test_response_roundtrip():
     data = encode_response(17) + encode_response(4)
     assert decode_response(data) == [17, 4]
