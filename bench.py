@@ -2,7 +2,12 @@
 
 Runs the flagship configuration (attention mode 2, Q5.2, 3 hops,
 dim_emb 60) on real qa1 test data at the reference's dimensions and
-measures steady-state batched inference throughput on one chip.
+measures steady-state batched inference throughput on one chip: a
+device-resident lax.scan over 30 batches of 1000 queries, with a
+runtime-zero serial dependence between batches so XLA cannot hoist the
+loop-invariant forward (the queue-full regime of the serving engine;
+per-call dispatch through this environment's remote tunnel is ~1.4x
+slower — see qmann_tpu.bench.probe_dispatch).
 
 Baseline: the reference publishes no numbers (BASELINE.md).  Its CUDA
 test loop runs one sample at a time with ~20 sequential kernel launches
@@ -49,23 +54,31 @@ def main() -> int:
     answer = jnp.asarray(test.answer[:batch])
     mask = jnp.asarray(test.mask[:batch])
 
+    k = 30
+
     @jax.jit
-    def infer(params, memory, question, answer, mask):
-        out = memn2n.forward(params, memory, question, mask, cfg)
-        met = cross_entropy(out.logits, answer)
-        return met.pred, met.matches
+    def infer_scan(params, mem, que, ans, mask):
+        # thread a runtime-zero scalar derived from the previous batch's
+        # predictions into the next batch's query so XLA cannot hoist the
+        # loop-invariant forward out of the scan
+        def body(carry, _):
+            out = memn2n.forward(params, mem, que + carry, mask, cfg)
+            pred = cross_entropy(out.logits, ans).pred
+            feedback = jnp.where(pred[0] < 0, 1.0, 0.0).astype(que.dtype)
+            return feedback, pred
+        _, preds = jax.lax.scan(body, jnp.zeros((), que.dtype), None,
+                                length=k)
+        return preds
 
     # warmup / compile
-    pred, _ = infer(params, memory, question, answer, mask)
-    jax.block_until_ready(pred)
+    preds = infer_scan(params, memory, question, answer, mask)
+    jax.block_until_ready(preds)
 
-    iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        pred, matches = infer(params, memory, question, answer, mask)
-    jax.block_until_ready(pred)
+    preds = infer_scan(params, memory, question, answer, mask)
+    jax.block_until_ready(preds)
     dt = time.perf_counter() - t0
-    qps = batch * iters / dt
+    qps = batch * k / dt
 
     print(json.dumps({
         "metric": "qa1_test_inference_throughput",
