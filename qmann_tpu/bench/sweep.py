@@ -30,6 +30,13 @@ def parse_range(spec: str):
     return out
 
 
+def _write_summary(out_dir: str, summary) -> None:
+    tmp = os.path.join(out_dir, "summary.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, "summary.json"))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="qmann_tpu.bench.sweep")
     p.add_argument("--tasks", default="1-20")
@@ -96,10 +103,12 @@ def main(argv=None) -> int:
             summary.append(row)
             print(json.dumps(row), flush=True)
             results.append(TaskResult(task_index, loops))
+            # checkpoint after every task so an interrupted sweep still
+            # leaves a loadable summary (sweeps run for hours)
+            _write_summary(args.out_dir, summary)
         write_run_outputs(os.path.join(args.out_dir, f"iwl{iwl}"), cfg,
                           results)
-    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    _write_summary(args.out_dir, summary)
     if summary:
         mean_err = sum(r["err_test_avg"] for r in summary) / len(summary)
         print(json.dumps({"sweep_mean_err_test": mean_err}))
