@@ -174,3 +174,22 @@ def test_optimizer_variants_finite(rng):
         for k, val in pp.items():
             assert np.isfinite(np.asarray(val)).all(), k
             assert not np.array_equal(np.asarray(val), np.asarray(p[k]))
+
+
+def test_bench_compare_renders_table(tmp_path, capsys):
+    import json
+    from qmann_tpu.bench.compare import main as compare_main
+    a = tmp_path / "sweep_a"
+    b = tmp_path / "sweep_b"
+    a.mkdir(), b.mkdir()
+    (a / "summary.json").write_text(json.dumps(
+        [{"iwl": 0, "task": 1, "err_test_avg": 0.7},
+         {"iwl": 0, "task": 2, "err_test_avg": 0.5}]))
+    (b / "summary.json").write_text(json.dumps(
+        [{"iwl": 0, "task": 1, "err_test_avg": 0.4}]))
+    assert compare_main([str(a), str(b), "--labels", "m2,m3"]) == 0
+    out = capsys.readouterr().out
+    assert "| m2 | m3 |" in out
+    assert "| 0 | 1 | 0.700 | 0.400 |" in out
+    assert "| 0 | 2 | 0.500 | — |" in out      # missing cell renders as —
+    assert "| | mean | 0.6000 | 0.4000 |" in out
