@@ -17,7 +17,13 @@ launch costing ~5-10us — bounding it well below ~20k queries/sec on a
 contemporary GPU.  We take 20,000 q/s as a deliberately generous CUDA
 baseline estimate; vs_baseline = measured / 20000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The timed scan is repeated REPEATS times and the MEDIAN is reported —
+the remote-tunnel dispatch has multi-hundred-microsecond jitter windows
+that halved a single-shot measurement in round 1 (BENCH.md) — with the
+min/max spread and the measurement regime recorded alongside so the JSON
+line self-describes its methodology.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -28,6 +34,7 @@ import time
 import numpy as np
 
 BASELINE_QPS = 20000.0  # estimated reference CUDA throughput (see above)
+REPEATS = 7             # timed repetitions; the median is the number of record
 
 
 def main() -> int:
@@ -74,17 +81,23 @@ def main() -> int:
     preds = infer_scan(params, memory, question, answer, mask)
     jax.block_until_ready(preds)
 
-    t0 = time.perf_counter()
-    preds = infer_scan(params, memory, question, answer, mask)
-    jax.block_until_ready(preds)
-    dt = time.perf_counter() - t0
-    qps = batch * k / dt
+    samples = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        preds = infer_scan(params, memory, question, answer, mask)
+        jax.block_until_ready(preds)
+        samples.append(batch * k / (time.perf_counter() - t0))
+    qps = float(np.median(samples))
 
     print(json.dumps({
         "metric": "qa1_test_inference_throughput",
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "regime": "device_resident_scan",
+        "repeats": REPEATS,
+        "spread_min": round(min(samples), 1),
+        "spread_max": round(max(samples), 1),
     }))
     return 0
 

@@ -31,19 +31,26 @@ def main(argv=None) -> int:
 
     labels = (args.labels.split(",") if args.labels
               else [os.path.basename(os.path.normpath(d)) for d in args.dirs])
+    if len(labels) != len(args.dirs):
+        p.error(f"--labels names {len(labels)} columns but "
+                f"{len(args.dirs)} directories were given")
     results = [load_summary(d) for d in args.dirs]
     keys = sorted(set().union(*results))
+    common = sorted(set(results[0]).intersection(*results[1:]))
 
     print("| iwl | task | " + " | ".join(labels) + " |")
     print("|---|---|" + "---|" * len(labels))
     for key in keys:
         cells = [f"{r[key]:.3f}" if key in r else "—" for r in results]
         print(f"| {key[0]} | {key[1]} | " + " | ".join(cells) + " |")
+    # means are comparable only over tasks every column covers
     means = []
     for r in results:
-        vals = [r[k] for k in keys if k in r]
-        means.append(f"{sum(vals) / len(vals):.4f}" if vals else "—")
-    print("| | mean | " + " | ".join(means) + " |")
+        if common:
+            means.append(f"{sum(r[k] for k in common) / len(common):.4f}")
+        else:
+            means.append("—")
+    print(f"| | mean (n={len(common)} common) | " + " | ".join(means) + " |")
     return 0
 
 

@@ -192,4 +192,10 @@ def test_bench_compare_renders_table(tmp_path, capsys):
     assert "| m2 | m3 |" in out
     assert "| 0 | 1 | 0.700 | 0.400 |" in out
     assert "| 0 | 2 | 0.500 | — |" in out      # missing cell renders as —
-    assert "| | mean | 0.6000 | 0.4000 |" in out
+    # means are computed over the INTERSECTION of covered tasks (here only
+    # task 1) so unevenly-covered sweeps stay comparable, with n shown
+    assert "| | mean (n=1 common) | 0.7000 | 0.4000 |" in out
+    # mismatched --labels count is an argparse error, not a silent mis-table
+    import pytest
+    with pytest.raises(SystemExit):
+        compare_main([str(a), str(b), "--labels", "only-one"])
