@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from qmann_tpu.config import QmannConfig
 from qmann_tpu.ops import (
     activation, apply_softmax, attention_score, cross_entropy, qembed_mat,
-    qmatvec, qscore, qsum, qweighted_sum, scale_apply, CEMetrics,
+    qembed_mat_multi, qmatvec, qscore, qsum, qweighted_sum, scale_apply,
+    CEMetrics,
 )
 
 Params = Dict[str, jax.Array]
@@ -125,19 +126,33 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
     mask_f = mask.astype(jnp.float32)
     backend = "pallas" if cfg.use_pallas else "jnp"
+    K = cfg.num_hops
+    # question/memory rows are integer bag-of-words counts unless EN_PE
+    # replaces the question counts with position-encoding weights
+    # (sample.c:546-547)
+    q_integer = not cfg.en_pe
 
     # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
     # MemN2N/MemN2N.c:823)
     u = qmatvec(_query_weight(params, cfg), question,
-                fmt_w[0], fmt_w[0], quantized=q, backend=backend)
+                fmt_w[0], fmt_w[0], quantized=q, backend=backend,
+                integer_inputs=q_integer)
+
+    # All 2K memory embeddings (A and C per hop, per-hop formats under
+    # EN_MQ) in ONE stacked MXU matmul — the reference runs 2K sequential
+    # dense_mat_fwd kernels here (MemN2N/MemN2N.c:1372-1532)
+    hop_w = [_hop_weights(params, cfg, h) for h in range(K)]
+    embeds = qembed_mat_multi(
+        memory,
+        tuple(w[0] for w in hop_w) + tuple(w[1] for w in hop_w),
+        tuple(fmt_w[h] for h in range(K)) * 2,
+        quantized=q, backend=backend, integer_inputs=True)
 
     attn, scores_all = [], []
-    for h in range(cfg.num_hops):
-        a_w, c_w, h_w = _hop_weights(params, cfg, h)
-        m = qembed_mat(memory, a_w, fmt_w[h], quantized=q,
-                       backend=backend, integer_inputs=True)  # [B, M, D]
-        c = qembed_mat(memory, c_w, fmt_w[h], quantized=q,
-                       backend=backend, integer_inputs=True)  # [B, M, D]
+    for h in range(K):
+        _, _, h_w = hop_w[h]
+        m = embeds[h]                                         # [B, M, D]
+        c = embeds[K + h]                                     # [B, M, D]
 
         if cfg.en_cosine_sim and cfg.attention_mode in (1, 2):
             # EN_COSINE_SIM (define.h:200; _cuda_normalize_vec,

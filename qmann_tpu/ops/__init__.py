@@ -1,5 +1,6 @@
 from qmann_tpu.ops.qlinear import (
-    qmatvec, qembed_mat, qscore, qweighted_sum, qmatvec_reference,
+    qmatvec, qembed_mat, qembed_mat_multi, qscore, qweighted_sum,
+    qmatvec_reference,
 )
 from qmann_tpu.ops.attention import (
     hamming_score, binary_score, binarize, attention_score,
@@ -15,7 +16,8 @@ from qmann_tpu.ops.elementwise import (
 )
 
 __all__ = [
-    "qmatvec", "qembed_mat", "qscore", "qweighted_sum", "qmatvec_reference",
+    "qmatvec", "qembed_mat", "qembed_mat_multi", "qscore", "qweighted_sum",
+    "qmatvec_reference",
     "hamming_score", "binary_score", "binarize", "attention_score",
     "unweighted_similarity", "DEFAULT_CONST_SCALE",
     "softmax", "shift_softmax", "exp_plan", "exp_plan_softmax",

@@ -37,7 +37,7 @@ summed over them — matching the reference's per-sample accumulation into
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,9 +56,35 @@ def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
 # qmatvec: out = W @ x   (dense layer forward, lib/layer_cuda.cu:3163-3210)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _exact_bf16(fmt: QFormat) -> bool:
+    """True when every value representable in ``fmt`` is exactly
+    representable in bfloat16: the quantized magnitudes are integers
+    <= 2^(iwl+frac)-1 on a power-of-two grid, and bf16's 8-bit significand
+    holds every integer up to 256.  The 8-bit reference word (BW_WL=8,
+    MemN2N/define.h:21) always qualifies."""
+    return 0 < fmt.iwl + fmt.frac <= 8
+
+
+def _mxu_matmul(x, wq_t, exact_bf16: bool):
+    """out = x @ wq_t on the MXU, bit-exact to a real-arithmetic matmul.
+
+    When both operand formats fit bf16 exactly (integer inputs, 8-bit
+    Q-format weights), ONE bf16 MXU pass with an f32 accumulator is exact:
+    bf16*bf16 products carry <= 16 significand bits (< f32's 24) and the
+    fast-path conditions bound every partial sum under 2^24 grid units.
+    Otherwise fall back to f32 HIGHEST (6 passes) to avoid the default
+    precision's bf16 rounding of wide Q-formats."""
+    if exact_bf16:
+        return jnp.matmul(x.astype(jnp.bfloat16), wq_t.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(x, wq_t, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
-            quantized: bool = True, backend: str = "jnp") -> jax.Array:
+            quantized: bool = True, backend: str = "jnp",
+            integer_inputs: bool = False) -> jax.Array:
     """Quantized matrix-vector product: out[...,o] = Q(sum_i Q(Q(w)Q(x)))
 
     w: [O, I]; x: [..., I] -> [..., O].
@@ -73,15 +99,44 @@ def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
     [B, O, I] product lattice.  The backward is the same raw-float VJP
     either way.
 
+    integer_inputs=True (bag-of-words query vectors, e.g. emb_q's input)
+    enables the exact MXU fast path when no per-product re-quantization
+    can bite — the qmatvec analog of qembed_mat's fast path; falls back
+    dynamically otherwise.
+
     When fmt_w is the binary format (iwl+frac==0), the XNOR-net-style scale
     is applied: the output is multiplied by sum(w)/(O*I).  NB the
     reference's "_cuda_l1_norm" sums the raw weights (no abs),
     lib/layer_cuda.cu:1624-1650 — reproduced as-is.
     """
-    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend)
+    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
+                             integer_inputs)
 
 
-def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp"):
+def _qmatvec_integer_fast_ok(x, wq, fmt_w: QFormat, fmt_x: QFormat):
+    """Exactness condition for collapsing qmatvec's per-product-quantized
+    contraction into one matmul for small-integer inputs x (mixed-format
+    variant of _integer_input_fast_path_ok):
+
+      * Q(x, fmt_x) == x                  (|x| <= maxf_x; ints sit on any grid)
+      * x * wq is on wq's 2^-frac_w grid  (x integer) and no product
+        truncates or saturates when re-quantized to fmt_w:
+        max|x| * max|wq| <= maxf_w
+      * every partial row-sum stays < 2^24 grid units (f32-exact,
+        order-independent accumulation)
+    """
+    maxf_x = fixed_max_float(fmt_x.iwl, fmt_x.frac)
+    maxf_w = fixed_max_float(fmt_w.iwl, fmt_w.frac)
+    max_x = jnp.max(jnp.abs(x))
+    max_wq = jnp.max(jnp.abs(wq))
+    max_row_units = (jnp.max(jnp.sum(jnp.abs(x), axis=-1)) * max_wq
+                     * jnp.float32(2.0 ** fmt_w.frac))
+    return ((max_x <= maxf_x) & (max_x * max_wq <= maxf_w)
+            & (max_row_units < jnp.float32(2.0 ** 24)))
+
+
+def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp",
+                      integer_inputs=False):
     if not quantized:
         return jnp.einsum("oi,...i->...o", w, x,
                           preferred_element_type=jnp.float32)
@@ -91,6 +146,20 @@ def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp"):
         flat = x.reshape((-1, x.shape[-1])) if x.ndim != 2 else x
         out = qmatvec_pallas(w, flat, fmt_w, fmt_x)
         out = out.reshape(lead + (w.shape[0],))
+    elif (integer_inputs and not fmt_w.is_binary and not fmt_x.is_binary):
+        wq = float_quant(w, fmt_w)
+
+        def fast(_):
+            bf16_ok = _exact_bf16(fmt_w) and _exact_bf16(fmt_x)
+            return float_quant(
+                _mxu_matmul(x, jnp.swapaxes(wq, 0, 1), bf16_ok), fmt_w)
+
+        def slow(_):
+            prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
+            return float_quant(jnp.sum(prod, axis=-1), fmt_w)
+
+        out = jax.lax.cond(_qmatvec_integer_fast_ok(x, wq, fmt_w, fmt_x),
+                           fast, slow, None)
     else:
         prod = _qproducts(w, x[..., None, :], fmt_w, fmt_x, fmt_w)
         out = float_quant(jnp.sum(prod, axis=-1), fmt_w)
@@ -100,11 +169,12 @@ def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp"):
     return out
 
 
-def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend):
-    return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend), (w, x)
+def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend, integer_inputs):
+    return (_qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
+                              integer_inputs), (w, x))
 
 
-def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, res, g):
+def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs, res, g):
     w, x = res
     # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
     #   w_del += g (x)^T ; grad_x = W^T g
@@ -155,12 +225,12 @@ def _integer_input_fast_path_ok(s, a, fmt: QFormat):
     products equals the plain matmul of counts with quantized weights —
     bit-for-bit, but on the MXU instead of an elementwise lattice."""
     maxf = fixed_max_float(fmt.iwl, fmt.frac)
-    max_s = jnp.max(s)
+    max_s = jnp.max(jnp.abs(s))
     max_wq = jnp.max(jnp.abs(float_quant(a, fmt)))
     # f32-exactness: every product and every partial row-sum must sit on
     # the 2^-frac grid with < 2^24 grid units, so f32 accumulation in any
     # order (MXU tiling included) is exact and order-independent.
-    max_row_units = (jnp.max(jnp.sum(s, axis=-1)) * max_wq
+    max_row_units = (jnp.max(jnp.sum(jnp.abs(s), axis=-1)) * max_wq
                      * jnp.float32(2.0 ** fmt.frac))
     return ((max_s <= maxf) & (max_s * max_wq <= maxf)
             & (max_row_units < jnp.float32(2.0 ** 24)))
@@ -187,13 +257,11 @@ def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp",
 
     def fast(_):
         aq = float_quant(a, fmt)
-        # HIGHEST keeps the TPU matmul in full f32 (the default precision
-        # lowers f32 operands to bf16 passes, which would round wide
-        # Q-format weights and break bit-exactness with the slow path).
+        # one exact bf16 MXU pass for 8-bit formats (see _exact_bf16);
+        # f32 HIGHEST otherwise — the default precision would round wide
+        # Q-format weights and break bit-exactness with the slow path.
         return float_quant(
-            jnp.einsum("...mi,di->...md", s, aq,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST), fmt)
+            _mxu_matmul(s, jnp.swapaxes(aq, 0, 1), _exact_bf16(fmt)), fmt)
 
     return jax.lax.cond(_integer_input_fast_path_ok(s, a, fmt), fast, slow,
                         None)
@@ -214,6 +282,92 @@ def _qembed_mat_bwd(fmt, quantized, backend, integer_inputs, res, g):
 
 
 qembed_mat.defvjp(_qembed_mat_fwd, _qembed_mat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qembed_mat_multi: every hop's A/C embedding in ONE MXU matmul
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def qembed_mat_multi(s: jax.Array, weights: Tuple[jax.Array, ...],
+                     fmts: Tuple[QFormat, ...], quantized: bool = True,
+                     backend: str = "jnp",
+                     integer_inputs: bool = False) -> Tuple[jax.Array, ...]:
+    """K independent qembed_mat calls sharing one input — computed as ONE
+    stacked matmul.
+
+    The reference recomputes the memory embeddings for every hop
+    sequentially (dense_mat_fwd per hop per A/C, MemN2N/MemN2N.c:1372-1532);
+    under per-hop mixed precision (EN_MQ) the results genuinely differ, so
+    no CSE applies.  TPU-first design: quantize each weight matrix in its
+    own format, CONCATENATE them ([sum_k D_k, I]) and run a single
+    [.., M, I] x [I, sum_k D_k] MXU matmul, then re-quantize each D_k block
+    in its format.  Bit-identical to K separate qembed_mat calls (same
+    fast-path exactness conditions, applied jointly), but one systolic-array
+    pass instead of K small ones.
+
+    Returns a tuple of [..., M, D_k] arrays, one per (weight, fmt) pair.
+    Gradients are the same raw-float VJPs as qembed_mat, per weight; a
+    weight array appearing in multiple slots (shared A across hops under
+    tying type 2) gets its cotangents summed by JAX as usual.
+    """
+    return _qembed_mat_multi_impl(s, weights, fmts, quantized, backend,
+                                  integer_inputs)
+
+
+def _qembed_mat_multi_impl(s, weights, fmts, quantized, backend,
+                           integer_inputs):
+    assert len(weights) == len(fmts)
+    single = [
+        lambda w=w, fmt=fmt: _qembed_mat_impl(s, w, fmt, quantized, backend,
+                                              integer_inputs)
+        for w, fmt in zip(weights, fmts)]
+    if (not quantized or backend == "pallas" or not integer_inputs
+            or any(f.is_binary for f in fmts)):
+        return tuple(f() for f in single)
+
+    wqs = [float_quant(w, fmt) for w, fmt in zip(weights, fmts)]
+    ok = _integer_input_fast_path_ok(s, weights[0], fmts[0])
+    for w, fmt in zip(weights[1:], fmts[1:]):
+        ok = ok & _integer_input_fast_path_ok(s, w, fmt)
+
+    def fast(_):
+        stacked = jnp.concatenate([jnp.swapaxes(wq, 0, 1) for wq in wqs],
+                                  axis=1)                    # [I, sum D_k]
+        out = _mxu_matmul(s, stacked, all(_exact_bf16(f) for f in fmts))
+        outs, off = [], 0
+        for wq, fmt in zip(wqs, fmts):
+            d = wq.shape[0]
+            outs.append(float_quant(out[..., off:off + d], fmt))
+            off += d
+        return tuple(outs)
+
+    def slow(_):
+        return tuple(f() for f in single)
+
+    return jax.lax.cond(ok, fast, slow, None)
+
+
+def _qembed_mat_multi_fwd(s, weights, fmts, quantized, backend,
+                          integer_inputs):
+    out = _qembed_mat_multi_impl(s, weights, fmts, quantized, backend,
+                                 integer_inputs)
+    return out, (s, weights)
+
+
+def _qembed_mat_multi_bwd(fmts, quantized, backend, integer_inputs, res, gs):
+    s, weights = res
+    # raw-float per-entry VJPs (dense_mat_bwd semantics), input grads summed
+    dws = tuple(
+        jnp.einsum("...md,...mi->di", g, s,
+                   preferred_element_type=jnp.float32) for g in gs)
+    ds = sum(jnp.einsum("...md,di->...mi", g, w,
+                        preferred_element_type=jnp.float32)
+             for g, w in zip(gs, weights))
+    return ds, dws
+
+
+qembed_mat_multi.defvjp(_qembed_mat_multi_fwd, _qembed_mat_multi_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -426,3 +426,85 @@ def test_qembed_fast_path_low_bit_saturation(rng):
     slow = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
                       integer_inputs=False)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_qembed_bf16_fast_path_boundary_magnitudes(rng):
+    """The single-pass bf16 MXU path must stay bit-exact at the 8-bit
+    format's extremes: quantized weight magnitudes of 255 grid units
+    (QFormat(8,0)) and counts at the saturation bound — every such integer
+    is exactly representable in bf16's 8-bit significand."""
+    fmt = QFormat(8, 0)          # maxf = 255, weights quantized to ints
+    s = np.zeros((3, 8), np.float32)
+    s[0, :4] = [255.0, 254.0, 1.0, 2.0]
+    s[1, 4:] = [127.0, 128.0, 3.0, 0.0]
+    s[2, :] = 1.0
+    a = np.zeros((4, 8), np.float32)
+    a[:, 0] = [1.0, -1.0, 0.5, 0.9]          # quantize to 1, -1, 0, 0
+    a[:, 4] = [1.0, 0.0, -1.0, 1.0]
+    from qmann_tpu.ops.qlinear import _integer_input_fast_path_ok
+    assert bool(_integer_input_fast_path_ok(jnp.asarray(s), jnp.asarray(a),
+                                            fmt))
+    fast = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=True)
+    slow = qembed_mat(jnp.asarray(s), jnp.asarray(a), fmt,
+                      integer_inputs=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+@pytest.mark.parametrize("scale_w", [0.1, 1.0, 20.0])
+def test_qmatvec_integer_fast_path_is_exact(rng, scale_w):
+    """qmatvec's integer-input MXU fast path (mixed weight/input formats,
+    e.g. the emb_q query embedding on BoW counts) must agree bit-for-bit
+    with the product lattice; the dynamic guard routes saturating scales
+    to the slow branch."""
+    from qmann_tpu.ops import qmatvec
+    fmt_w, fmt_x = QFormat(6, 1), QFormat(5, 2)
+    x = rng.integers(0, 3, (7, 9)).astype(np.float32)
+    w = rng.normal(0, scale_w, (6, 9)).astype(np.float32)
+    fast = qmatvec(jnp.asarray(w), jnp.asarray(x), fmt_w, fmt_x,
+                   integer_inputs=True)
+    slow = qmatvec(jnp.asarray(w), jnp.asarray(x), fmt_w, fmt_x,
+                   integer_inputs=False)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_qembed_mat_multi_matches_single(rng):
+    """The stacked multi-format embed must be bit-identical to K separate
+    qembed_mat calls (values AND gradients), including a weight shared
+    between two slots (layer-wise tying across hops under EN_MQ)."""
+    from qmann_tpu.ops import qembed_mat_multi
+    fmts = (QFormat(6, 1), QFormat(5, 2), QFormat(4, 3))
+    s = jnp.asarray(rng.integers(0, 3, (4, 5, 9)).astype(np.float32))
+    a = jnp.asarray(rng.normal(0, 1.0, (6, 9)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 1.0, (6, 9)).astype(np.float32))
+    weights = (a, c, a)    # a appears twice (shared across hops)
+
+    outs = qembed_mat_multi(s, weights, fmts, integer_inputs=True)
+    for out, w, fmt in zip(outs, weights, fmts):
+        ref = qembed_mat(s, w, fmt, integer_inputs=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def loss_multi(a, c):
+        outs = qembed_mat_multi(s, (a, c, a), fmts, integer_inputs=True)
+        return sum(jnp.sum(o * (i + 1.0)) for i, o in enumerate(outs))
+
+    def loss_single(a, c):
+        outs = [qembed_mat(s, w, fmt, integer_inputs=True)
+                for w, fmt in zip((a, c, a), fmts)]
+        return sum(jnp.sum(o * (i + 1.0)) for i, o in enumerate(outs))
+
+    ga_m, gc_m = jax.grad(loss_multi, argnums=(0, 1))(a, c)
+    ga_s, gc_s = jax.grad(loss_single, argnums=(0, 1))(a, c)
+    np.testing.assert_allclose(np.asarray(ga_m), np.asarray(ga_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc_m), np.asarray(gc_s), rtol=1e-6)
+
+    # float mode and a binary format both fall back to per-entry paths
+    outs_f = qembed_mat_multi(s, weights, fmts, quantized=False)
+    for out, w in zip(outs_f, weights):
+        ref = qembed_mat(s, w, fmts[0], quantized=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    fmts_b = (QFormat(0, 0), QFormat(5, 2), QFormat(4, 3))
+    outs_b = qembed_mat_multi(s, weights, fmts_b, integer_inputs=True)
+    for out, w, fmt in zip(outs_b, weights, fmts_b):
+        ref = qembed_mat(s, w, fmt, integer_inputs=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
