@@ -44,6 +44,21 @@ def main(argv=None) -> int:
     p.add_argument("--loops", type=int, default=10)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--attention-mode", type=int, default=2)
+    p.add_argument("--no-fixed-point", action="store_true",
+                   help="float control run (EN_FIXED_POINT undef)")
+    p.add_argument("--bw-wl", type=int, default=8,
+                   help="total word length (define.h:21); 4 = INT4 study")
+    p.add_argument("--binary-mode", action="store_true",
+                   help="BINARY_MODE (define.h:88): iwl=frac=0 everywhere")
+    p.add_argument("--sc-att", action="store_true",
+                   help="EN_SC_ATT learnable attention scale (define.h:59)")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="L2 lambda (define.h:238)")
+    p.add_argument("--seed-base", type=int, default=0,
+                   help="loop i trains with seed = seed_base + i")
+    p.add_argument("--resume", action="store_true",
+                   help="skip (iwl, task) rows already in out-dir/summary.json"
+                        " with >= --loops recorded loops")
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--max-test-samples", type=int, default=None)
@@ -69,15 +84,35 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     summary = []
+    existing = {}
+    if args.resume:
+        path = os.path.join(args.out_dir, "summary.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                summary = json.load(f)
+            for row in summary:
+                # pre-resume rows carry no per-loop errs list: 1 loop
+                # (seed 0 == seed_base + loop 0, so appending stays aligned)
+                row.setdefault("errs", [row["err_test_avg"]])
+                existing[(row["iwl"], row["task"])] = row
     for iwl in parse_range(args.iwl):
         cfg = QmannConfig(iwl=iwl, num_itr=args.epochs,
                           attention_mode=args.attention_mode,
+                          en_fixed_point=not args.no_fixed_point,
+                          bw_wl=args.bw_wl,
+                          binary_mode=args.binary_mode,
+                          en_sc_att=args.sc_att,
+                          lambda_=args.weight_decay,
                           en_save_best_model=args.save_best_model,
                           data_path=args.data_path,
                           raw_data_path=args.raw_data_path,
                           verbose=False)
         results = []
         for task_index in parse_range(args.tasks):
+            prev = existing.get((iwl, task_index))
+            start_loop = len(prev["errs"]) if prev else 0
+            if start_loop >= args.loops:
+                continue
             task = cfg.task_name(task_index)
             t0 = time.time()
             pad = (64, 50) if args.uniform_shapes else (0, 0)
@@ -87,27 +122,36 @@ def main(argv=None) -> int:
                 limit_test=args.max_test_samples,
                 pad_dict=pad[0], pad_line=pad[1])
             loops = []
-            for loop in range(args.loops):
-                res = train_task(cfg.replace(seed=loop), data)
+            for loop in range(start_loop, args.loops):
+                res = train_task(cfg.replace(seed=args.seed_base + loop),
+                                 data)
                 loops.append(TaskLoopResult(
                     res.time_train,
                     res.history[-1].err_train if res.history else 1.0,
                     res.time_test, res.err_test))
-            errs = [l.err_test for l in loops]
+            errs = (prev["errs"] if prev else []) + [l.err_test
+                                                     for l in loops]
             row = {
                 "iwl": iwl, "task": task_index,
                 "err_test_avg": sum(errs) / len(errs),
                 "err_test_min": min(errs), "err_test_max": max(errs),
-                "wallclock": time.time() - t0,
+                "errs": errs,
+                "wallclock": (time.time() - t0
+                              + (prev["wallclock"] if prev else 0.0)),
             }
-            summary.append(row)
+            if prev:
+                summary[summary.index(prev)] = row
+                existing[(iwl, task_index)] = row
+            else:
+                summary.append(row)
             print(json.dumps(row), flush=True)
             results.append(TaskResult(task_index, loops))
             # checkpoint after every task so an interrupted sweep still
             # leaves a loadable summary (sweeps run for hours)
             _write_summary(args.out_dir, summary)
-        write_run_outputs(os.path.join(args.out_dir, f"iwl{iwl}"), cfg,
-                          results)
+        if results:
+            write_run_outputs(os.path.join(args.out_dir, f"iwl{iwl}"), cfg,
+                              results)
     _write_summary(args.out_dir, summary)
     if summary:
         mean_err = sum(r["err_test_avg"] for r in summary) / len(summary)
