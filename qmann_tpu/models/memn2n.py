@@ -123,8 +123,7 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     remove_softmax: linear-start mode (MemN2N/MemN2N.c:1080-1099)
     """
     q = cfg.en_fixed_point
-    fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
-    mask_f = mask.astype(jnp.float32)
+    fmt_w = cfg.fmt_w
     backend = "pallas" if cfg.use_pallas else "jnp"
     K = cfg.num_hops
     # question/memory rows are integer bag-of-words counts unless EN_PE
@@ -148,9 +147,23 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
         tuple(fmt_w[h] for h in range(K)) * 2,
         quantized=q, backend=backend, integer_inputs=True)
 
+    return _hop_stack(params, cfg, u, embeds, mask, remove_softmax, backend)
+
+
+def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
+               embeds, mask: jax.Array, remove_softmax: bool,
+               backend: str) -> ForwardResult:
+    """The K-hop controller loop given the query embedding u and the 2K
+    memory embeddings (A_0..A_{K-1}, C_0..C_{K-1}) — shared between the
+    training forward and the serving-prepared forward."""
+    q = cfg.en_fixed_point
+    fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
+    mask_f = mask.astype(jnp.float32)
+    K = cfg.num_hops
+
     attn, scores_all = [], []
     for h in range(K):
-        _, _, h_w = hop_w[h]
+        _, _, h_w = _hop_weights(params, cfg, h)
         m = embeds[h]                                         # [B, M, D]
         c = embeds[K + h]                                     # [B, M, D]
 
@@ -220,3 +233,117 @@ def loss_and_metrics(params: Params, memory, question, answer, mask,
     matches = jnp.sum((hit == 1.0).astype(jnp.float32) * sample_mask)
     return loss, CEMetrics(loss=loss, cost=cost,
                            matches=matches.astype(jnp.int32), pred=met.pred)
+
+
+# ---------------------------------------------------------------------------
+# Serving-prepared inference: pre-quantized weights + statically decided
+# exact-MXU fast paths
+# ---------------------------------------------------------------------------
+
+class PreparedInference(NamedTuple):
+    """Inference-layout parameters produced by prepare_inference.
+
+    The regular forward decides the exact-MXU fast paths (qlinear's
+    integer-input routes) with per-batch runtime checks under lax.cond —
+    correct for training, where weights change every step, but in serving
+    the conditionals and the per-call weight quantize/concat/layout work
+    are pure fixed cost: the round-3 trace (bench.trace_forward) shows
+    them dominating the per-wave time while the hop loop itself runs near
+    the analytic floor.  Here the exactness conditions are checked ONCE on
+    the host against the frozen weights plus caller-supplied input bounds,
+    the fast-path decision becomes trace-time static (no lax.cond), and
+    the quantized/stacked/cast weights are computed once and cached.
+    """
+    raw: Params                        # original parameters (fallback path)
+    fast: bool                         # static exact-MXU route decision
+    query_wt: Optional[jax.Array]      # [I, D] quantized emb_q, transposed
+    embed_wt: Optional[jax.Array]      # [I, 2K*D] stacked quantized A/C
+
+
+def _max_abs_q(w: jax.Array, fmt) -> float:
+    from qmann_tpu.numerics import float_quant
+    import numpy as np
+    return float(np.max(np.abs(np.asarray(float_quant(w, fmt)))))
+
+
+def prepare_inference(params: Params, cfg: QmannConfig,
+                      max_count: float = 16.0,
+                      max_rowsum: float = 128.0) -> PreparedInference:
+    """Freeze params into serving layout.
+
+    max_count / max_rowsum bound the incoming bag-of-words features: the
+    largest single count and the largest per-row count sum the caller will
+    ever submit (bAbI sentences are <= 50 tokens and the vectorizer caps
+    stories at 50 rows, so the defaults hold with wide margin; the serving
+    engine derives them from its vectorizer).  The fast path is enabled
+    only if, under these bounds, every per-product re-quantization in
+    qembed_mat/qmatvec is provably the identity and every partial sum is
+    f32-exact — the same conditions qlinear checks at runtime
+    (_integer_input_fast_path_ok), evaluated once here against the frozen
+    weights.
+    """
+    from qmann_tpu.numerics import fixed_max_float, float_quant
+    from qmann_tpu.ops.qlinear import _exact_bf16
+
+    K = cfg.num_hops
+    fmt_w = cfg.fmt_w
+    fmts = tuple(fmt_w[h] for h in range(K)) * 2 + (fmt_w[0],)
+    hop_w = [_hop_weights(params, cfg, h) for h in range(K)]
+    mats = ([w[0] for w in hop_w] + [w[1] for w in hop_w]
+            + [_query_weight(params, cfg)])
+
+    fast = (cfg.en_fixed_point and not cfg.en_pe and not cfg.use_pallas
+            and not any(f.is_binary for f in fmts))
+    if fast:
+        for w, fmt in zip(mats, fmts):
+            maxf = fixed_max_float(fmt.iwl, fmt.frac)
+            max_wq = _max_abs_q(w, fmt)
+            ok = (max_count <= maxf and max_count * max_wq <= maxf
+                  and max_rowsum * max_wq * 2.0 ** fmt.frac < 2.0 ** 24)
+            if not ok:
+                fast = False
+                break
+    if not fast:
+        return PreparedInference(params, False, None, None)
+
+    bf16 = all(_exact_bf16(f) for f in fmts)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+
+    def prep(w, fmt):
+        return jnp.swapaxes(float_quant(w, fmt), 0, 1).astype(dt)
+
+    embed_wt = jnp.concatenate(
+        [prep(w, fmt) for w, fmt in zip(mats[:-1], fmts[:-1])], axis=1)
+    query_wt = prep(mats[-1], fmts[-1])
+    return PreparedInference(params, True, query_wt, embed_wt)
+
+
+def forward_prepared(prep: PreparedInference, memory: jax.Array,
+                     question: jax.Array, mask: jax.Array,
+                     cfg: QmannConfig) -> ForwardResult:
+    """Bit-identical to forward() under prepare_inference's bounds, with
+    zero per-call weight processing and no runtime fast-path dispatch."""
+    if not prep.fast:
+        return forward(prep.raw, memory, question, mask, cfg)
+
+    from qmann_tpu.numerics import float_quant
+    from qmann_tpu.ops.qlinear import _mxu_matmul
+
+    K = cfg.num_hops
+    fmt_w = cfg.fmt_w
+    bf16 = prep.query_wt.dtype == jnp.bfloat16
+    dt = prep.query_wt.dtype
+    D = prep.query_wt.shape[1]
+
+    # u = B q: one MXU pass on the cached quantized transpose (exact under
+    # the prepare-time bounds; f32 accumulate)
+    u = float_quant(_mxu_matmul(question.astype(dt), prep.query_wt, bf16),
+                    fmt_w[0])
+
+    # all 2K hop embeddings in one MXU pass, requantized per hop format
+    flat = _mxu_matmul(memory.astype(dt), prep.embed_wt, bf16)  # [B,M,2K*D]
+    embeds = tuple(
+        float_quant(flat[..., i * D:(i + 1) * D], fmt_w[i % K])
+        for i in range(2 * K))
+
+    return _hop_stack(prep.raw, cfg, u, embeds, mask, False, "jnp")

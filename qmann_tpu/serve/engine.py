@@ -57,9 +57,22 @@ class InferenceEngine:
         self._queue: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._jnp = jnp
 
+        # freeze weights into serving layout once per engine: quantized /
+        # stacked / cast, exact-MXU routes decided statically against the
+        # vectorizer's feature bounds (counts are per-row word counts plus
+        # one temporal one-hot, so a row's count sum is < max_word + 1)
+        self.prepared = memn2n.prepare_inference(
+            self.params, cfg, max_count=float(dims.max_word + 1),
+            max_rowsum=float(dims.max_word + 1))
+        prepared = self.prepared
+
+        # the prepared weights are closed over (not jit arguments): the
+        # static fast-path decision stays a Python bool and XLA embeds the
+        # frozen weights in their serving layout
         @jax.jit
-        def _infer(params, memory, question, mask):
-            out = memn2n.forward(params, memory, question, mask, cfg)
+        def _infer(memory, question, mask):
+            out = memn2n.forward_prepared(prepared, memory, question, mask,
+                                          cfg)
             return argmax_last(out.logits, axis=-1)
 
         self._infer = _infer
@@ -156,7 +169,7 @@ class InferenceEngine:
                     deadline_passed = True
             try:
                 mem, que, mask = self._vectorize(wave)
-                preds = np.asarray(self._infer(self.params, jnp.asarray(mem),
+                preds = np.asarray(self._infer(jnp.asarray(mem),
                                                jnp.asarray(que),
                                                jnp.asarray(mask)))
             except Exception as exc:  # fail the wave, keep serving
