@@ -24,8 +24,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG_LARGE = jnp.float32(-1e30)
+# np scalar, not jnp: a module-level jnp call would initialize
+# the XLA backend at import time (breaking multi-host bring-up,
+# which must run jax.distributed.initialize first)
+_NEG_LARGE = np.float32(-1e30)
 
 
 def _masked_exp_parts(x, mask):

@@ -4,11 +4,12 @@ from qmann_tpu.parallel.sharding import (
     shard_batch, make_sharded_train_step, make_sharded_eval_step,
 )
 from qmann_tpu.parallel.distributed import memory_sharded_attention_read
+from qmann_tpu.parallel.explicit import make_explicit_train_step
 
 __all__ = [
     "make_mesh", "DATA_AXIS", "MODEL_AXIS",
     "axis_if_divisible",
     "param_shardings", "batch_shardings", "shard_params", "shard_batch",
     "make_sharded_train_step", "make_sharded_eval_step",
-    "memory_sharded_attention_read",
+    "memory_sharded_attention_read", "make_explicit_train_step",
 ]

@@ -7,15 +7,24 @@ softmax statistics, the long-context/sequence-parallel analog the north
 star asks for (SURVEY.md sections 2.6, 5):
 
   each device holds a shard of the memory sentences [B, M/s, ...];
-  1. local attention scores against the replicated query;
-  2. global max via psum-of-onehot-free pmax, global exp-sum via psum
-     (the two softmax statistics — one scalar pair per row crosses ICI);
+  1. local attention scores against the query;
+  2. global max via pmax, global exp-sum via psum (the two softmax
+     statistics — one scalar pair per row crosses ICI);
   3. local quantized weighted-sum partials, psum'd and re-quantized.
 
 The final re-quantization AFTER the psum preserves the reference's exact
 semantics: quantized products live on the 2^-frac grid so their
 distributed sum is exact regardless of reduction order, and the single
 output quantization (lib/layer_cuda.cu:573) is applied once globally.
+
+Collective correctness is tracked by shard_map's vma system
+(check_vma=True): replicated values (psum/pmax outputs) are explicitly
+re-cast to varying (jax.lax.pcast) before meeting per-shard tensors, so
+reverse-mode transposes are exact — pcast's transpose is the psum that
+accumulates each shard's partial cotangent.  (With check_vma=False the
+transpose of psum degenerates to psum-of-replicated-cotangents, which
+silently multiplies gradients by the mesh-axis size — caught by the
+gradient-parity test in tests/test_parallel.py.)
 """
 from __future__ import annotations
 
@@ -24,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -33,12 +43,31 @@ from qmann_tpu.ops.attention import attention_score
 from qmann_tpu.ops.qlinear import qweighted_partial_sum
 from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-_NEG_LARGE = jnp.float32(-1e30)
+# np scalar, not jnp: a module-level jnp call would initialize
+# the XLA backend at import time (breaking multi-host bring-up,
+# which must run jax.distributed.initialize first)
+_NEG_LARGE = np.float32(-1e30)
+
+
+def _vary(x, axis):
+    """Re-enter per-shard (varying) land from a replicated collective
+    result; transposes to a psum of the per-shard cotangents."""
+    return jax.lax.pcast(x, axis, to="varying")
 
 
 def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
                           axis: str):
-    """Per-shard attention read; runs inside shard_map."""
+    """Per-shard attention read; runs inside shard_map.  All inputs must
+    be varying over `axis`; returns (o replicated over `axis`, p_l
+    varying).
+
+    Differentiation convention: a caller that consumes o in further
+    per-shard computation (each shard then holding a replicated COPY of
+    the same logical loss) must differentiate the per-shard loss divided
+    by the `axis` size — see explicit.make_explicit_train_step.  The
+    pcast/psum transposes then accumulate each copy's full cotangent and
+    the division restores the mean, which equals the single-copy
+    gradient exactly."""
     fmt_att = cfg.fmt_att[hop]
     fmt_act = cfg.fmt_act[hop]
     scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
@@ -51,11 +80,11 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
     # the softmax gradient (and pmax has no differentiation rule).
     local_max = jax.lax.stop_gradient(jnp.max(scores_l, axis=-1))
     gmax = jax.lax.pmax(local_max, axis)
-    e = jnp.exp(scores_l - gmax[..., None])
+    e = jnp.exp(scores_l - _vary(gmax, axis)[..., None])
     e = jnp.where(mask_l, e, 0.0)
     total = jax.lax.psum(jnp.sum(e, axis=-1), axis)
     total = jnp.where(total == 0.0, 1.0, total)
-    p_l = e / total[..., None]
+    p_l = e / _vary(total, axis)[..., None]
 
     # quantized weighted sum: local partials on the exact 2^-frac grid,
     # psum, single global output re-quantization (straight-through grad —
@@ -75,8 +104,10 @@ def memory_sharded_attention_read(mesh: Mesh, m, c, u, mask,
     axis and the batch over 'data'.  m, c: [B, M, D]; u: [B, D];
     mask: [B, M] -> (o [B, D], p [B, M])."""
 
-    fn = functools.partial(_attention_read_local, cfg=cfg, hop=hop,
-                           axis=MODEL_AXIS)
+    def fn(m_l, c_l, u_l, mask_l):
+        return _attention_read_local(m_l, c_l, _vary(u_l, MODEL_AXIS),
+                                     mask_l, cfg, hop, MODEL_AXIS)
+
     mapped = shard_map(
         fn, mesh=mesh,
         in_specs=(P(DATA_AXIS, MODEL_AXIS, None),
@@ -84,7 +115,5 @@ def memory_sharded_attention_read(mesh: Mesh, m, c, u, mask,
                   P(DATA_AXIS, None),
                   P(DATA_AXIS, MODEL_AXIS)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, MODEL_AXIS)),
-        # the transpose (backward) of the psum'd output cannot be proven
-        # replicated by the static checker; the collectives are correct
-        check_vma=False)
+        check_vma=True)
     return mapped(m, c, u, mask)

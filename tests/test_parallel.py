@@ -123,24 +123,37 @@ def test_memory_sharded_attention_matches_dense(rng, quantized):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_attention_gradients_flow(rng):
+def test_sharded_attention_gradients_match_dense(rng):
+    """Gradient PARITY with the dense computation — not just flow: with
+    check_vma=False the psum transposes silently scale cotangents by the
+    mesh-axis size (the round-3 bug this guards against)."""
     _requires_8_devices()
     mesh = make_mesh(8, model_parallelism=4)
-    cfg = QmannConfig(dim_emb=16, verbose=False)
+    cfg = QmannConfig(dim_emb=16, verbose=False, en_fixed_point=False,
+                      attention_mode=1)
     B, M, D = 4, 8, 16
     m = jnp.asarray(rng.normal(0, 1.0, (B, M, D)).astype(np.float32))
     c = jnp.asarray(rng.normal(0, 1.0, (B, M, D)).astype(np.float32))
     u = jnp.asarray(rng.normal(0, 1.0, (B, D)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(0, 1.0, (B, D)).astype(np.float32))
     mask = jnp.ones((B, M), bool)
 
-    def f(c_, u_):
-        o, _ = memory_sharded_attention_read(mesh, m, c_, u_, mask, cfg)
-        return jnp.sum(o)
+    def f(m_, c_, u_):
+        o, _ = memory_sharded_attention_read(mesh, m_, c_, u_, mask, cfg)
+        return jnp.sum(o * g_out)
 
-    dc, du = jax.grad(f, argnums=(0, 1))(c, u)
-    assert np.isfinite(np.asarray(dc)).all()
-    assert np.isfinite(np.asarray(du)).all()
-    assert np.abs(np.asarray(dc)).sum() > 0
+    def f_dense(m_, c_, u_):
+        scores = qscore(m_, u_, cfg.fmt_att[0], cfg.fmt_bin, quantized=False)
+        p = softmax(scores, mask)
+        o = qweighted_sum(c_, p, jnp.ones((B, M), jnp.float32),
+                          cfg.fmt_act[0], quantized=False)
+        return jnp.sum(o * g_out)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(m, c, u)
+    ref = jax.grad(f_dense, argnums=(0, 1, 2))(m, c, u)
+    for got, want, name in zip(grads, ref, ("dm", "dc", "du")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
 
 
 def test_hybrid_mesh_shapes():
@@ -149,3 +162,49 @@ def test_hybrid_mesh_shapes():
     mesh = make_hybrid_mesh(model_parallelism=4)
     assert mesh.axis_names == ("data", "model")
     assert mesh.devices.shape == (2, 4)
+
+
+def test_explicit_collective_train_step_matches_single_device(rng):
+    """The hand-scheduled shard_map step (parallel.explicit) — per-hop
+    psum'd attention reads, psum_cotangent query boundary, explicit grad
+    reductions — must reproduce the single-device SGD step."""
+    _requires_8_devices()
+    from qmann_tpu.parallel import make_explicit_train_step
+    cfg, dims, batch = make_case(rng)
+    mesh = make_mesh(8, model_parallelism=4)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+
+    def ref_step(p):
+        def loss_fn(p_):
+            loss, met = memn2n.loss_and_metrics(
+                p_, jnp.asarray(batch["memory"]),
+                jnp.asarray(batch["question"]), jnp.asarray(batch["answer"]),
+                jnp.asarray(batch["mask"]), jnp.asarray(batch["sample_mask"]),
+                cfg, False)
+            return loss, met
+        grads, met = jax.grad(loss_fn, has_aux=True)(p)
+        p = sgd_update(p, grads, jnp.float32(0.3), jnp.float32(8.0), cfg)
+        return zero_null_columns(p, cfg), met
+
+    ref_params, ref_met = ref_step(dict(params))
+
+    step = make_explicit_train_step(cfg, mesh)
+    sp = shard_params(mesh, dict(params))
+    sb = shard_batch(mesh, batch)
+    out_params, cost, matches = step(sp, sb, jnp.float32(0.3),
+                                     jnp.float32(8.0))
+    for k in ref_params:
+        np.testing.assert_allclose(np.asarray(out_params[k]),
+                                   np.asarray(ref_params[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
+    np.testing.assert_allclose(float(cost), float(ref_met.cost), rtol=1e-4)
+    assert int(matches) == int(ref_met.matches)
+
+
+def test_explicit_step_rejects_unsupported_wiring():
+    from qmann_tpu.parallel import make_explicit_train_step
+    _requires_8_devices()
+    mesh = make_mesh(8, model_parallelism=4)
+    with pytest.raises(NotImplementedError):
+        make_explicit_train_step(
+            QmannConfig(type_weight_tying=1, verbose=False), mesh)
