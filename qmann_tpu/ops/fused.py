@@ -1,0 +1,81 @@
+"""Fused attention read as a differentiable op.
+
+Forward: one Pallas program per batch tile computing the whole hop read
+(score -> masked softmax -> quantized weighted sum) with every
+intermediate VMEM-resident — the TPU fusion of the four kernels the
+reference launches per hop (_cuda_mat_mat_trans_product, _cuda_max,
+_cuda_softmax_fwd, _cuda_mat_trans_mat_product;
+lib/layer_cuda.cu:105-172, :1969-2060, :547-635).
+
+Backward: the raw-float composition of the three ops' reference VJPs
+(qscore / softmax / qweighted_sum — the reference never quantizes
+gradients, lib/layer.c:551-555), so training under use_pallas is
+gradient-identical to the unfused path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from qmann_tpu.numerics import QFormat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_attention_read(m: jax.Array, c: jax.Array, u: jax.Array,
+                         mask_f: jax.Array, fmt_att: QFormat,
+                         fmt_bin: QFormat, fmt_act: QFormat,
+                         score_quantized: bool = True,
+                         sum_quantized: bool = True,
+                         interpret: bool = False):
+    """m, c: [B, M, D]; u: [B, D]; mask_f: [B, M] float (1 live/0 pad)
+    -> (o [B, D], p [B, M], scores [B, M]).
+
+    Bit-identical to attention_score(mode 1/2) -> apply_softmax ->
+    qweighted_sum; scores are returned raw (pre-mask), as the unfused
+    path reports them."""
+    return _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
+                           score_quantized, sum_quantized, interpret)
+
+
+def _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
+                    score_quantized, sum_quantized, interpret):
+    from qmann_tpu.ops.pallas.qkernels import fused_attention_read_pallas
+    return fused_attention_read_pallas(
+        m, c, u, mask_f.astype(jnp.int32), fmt_att, fmt_bin, fmt_act,
+        score_quantized=score_quantized, sum_quantized=sum_quantized,
+        interpret=interpret)
+
+
+def _fused_fwd(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
+               score_quantized, sum_quantized, interpret):
+    o, p, scores = _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin,
+                                   fmt_act, score_quantized, sum_quantized,
+                                   interpret)
+    return (o, p, scores), (m, c, u, mask_f, p)
+
+
+def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
+               interpret, res, cts):
+    m, c, u, mask_f, p = res
+    do, dp_in, ds_in = cts
+    pm = p * mask_f
+    # qweighted_sum bwd (cuda_dot_mat_vec_bwd f_trans branch,
+    # lib/layer_cuda.cu:2584-2596)
+    dc = pm[..., :, None] * do[..., None, :]
+    dp = jnp.einsum("...md,...d->...m", c, do,
+                    preferred_element_type=jnp.float32) * mask_f
+    dp = dp + dp_in
+    # softmax bwd p*(g - sum(p*g)) (_cuda_softmax_bwd,
+    # lib/layer_cuda.cu:2130-2147); padded entries have p == 0
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = ds + ds_in
+    # qscore bwd on raw tensors (lib/layer_cuda.cu:2597-2609)
+    dm = ds[..., :, None] * u[..., None, :]
+    du = jnp.einsum("...md,...m->...d", m, ds,
+                    preferred_element_type=jnp.float32)
+    return dm, dc, du, jnp.zeros_like(mask_f)
+
+
+fused_attention_read.defvjp(_fused_fwd, _fused_bwd)

@@ -16,9 +16,14 @@ quantized products lie on the 2^-frac grid, the in-kernel reduction order
 is irrelevant (sums are exact in f32), so the Pallas and jnp paths agree
 exactly — checked by tests/test_pallas.py.
 
-Grid strategy: one program per batch tile; the feature dims (I <= ~192,
-O/D <= ~128, M <= 64) stay whole inside VMEM.  Batch tiles of 8 keep the
-largest scratch (the [TB, O, I] product lattice) under ~1 MB.
+Grid strategy: one program per batch tile (DEFAULT_BATCH_TILE = 32); at
+the reference's dims the feature axes (I <= ~192, O/D <= ~128, M <= 64)
+stay whole inside VMEM, keeping the largest scratch (the [TB, O, I]
+product lattice) in the single-digit-MB range.  For configurations whose
+lattice would exceed VMEM, qmatvec_pallas additionally tiles the O and I
+axes (o_tile/i_tile, auto-enabled past _AUTO_TILE_LATTICE_BYTES) with an
+f32 VMEM accumulator across I-blocks — exact, because quantized products
+lie on the 2^-frac grid so partial sums are order-independent.
 """
 from __future__ import annotations
 
@@ -51,40 +56,82 @@ def _cdiv(a: int, b: int) -> int:
 # Quantized mat-vec:  out[b, o] = Q(sum_i Q(Q(w[o,i]) * Q(x[b,i])))
 # ---------------------------------------------------------------------------
 
-def _qmatvec_kernel(w_ref, x_ref, out_ref, *, fmt_w: QFormat, fmt_x: QFormat):
-    wq = float_quant(w_ref[:], fmt_w)                 # [O, I]
-    xq = float_quant(x_ref[:], fmt_x)                 # [TB, I]
-    prod = float_quant(xq[:, None, :] * wq[None, :, :], fmt_w)  # [TB, O, I]
-    out_ref[:] = float_quant(jnp.sum(prod, axis=-1), fmt_w)
+def _qmatvec_kernel(w_ref, x_ref, out_ref, acc_ref, *, fmt_w: QFormat,
+                    fmt_x: QFormat, n_i: int):
+    """Grid (batch, O-blocks, I-blocks), I innermost: quantized partial
+    sums accumulate in an f32 VMEM scratch across I-blocks (exact — the
+    products live on the 2^-frac grid), the last I-block applies the
+    single output re-quantization."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wq = float_quant(w_ref[:], fmt_w)                 # [TO, TI]
+    xq = float_quant(x_ref[:], fmt_x)                 # [TB, TI]
+    prod = float_quant(xq[:, None, :] * wq[None, :, :], fmt_w)  # [TB,TO,TI]
+    acc_ref[:] += jnp.sum(prod, axis=-1)
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        out_ref[:] = float_quant(acc_ref[:], fmt_w)
+
+
+# lattice size past which qmatvec_pallas auto-tiles O and I (bytes of the
+# [TB, O, I] f32 product lattice; VMEM is ~16 MB/core on v5e)
+_AUTO_TILE_LATTICE_BYTES = 4 * 1024 * 1024
+_DEFAULT_O_TILE = 128
+_DEFAULT_I_TILE = 512
 
 
 def qmatvec_pallas(w: jax.Array, x: jax.Array, fmt_w: QFormat,
                    fmt_x: QFormat, batch_tile: int = DEFAULT_BATCH_TILE,
+                   o_tile: int = 0, i_tile: int = 0,
                    interpret: bool = False) -> jax.Array:
     """Pallas forward of ops.qlinear.qmatvec (quantized path, without the
-    XNOR binary scale — the caller applies it).  x: [B, I], w: [O, I]."""
+    XNOR binary scale — the caller applies it).  x: [B, I], w: [O, I].
+
+    o_tile/i_tile: 0 = auto (tile only when the whole-feature lattice
+    would exceed _AUTO_TILE_LATTICE_BYTES).  Binary formats never pad/tile
+    the I axis: their quantizer maps 0 to +1, so zero-padded columns would
+    contribute spurious products."""
     B, I = x.shape
     O = w.shape[0]
     tb = min(batch_tile, B)
-    nb = _cdiv(B, tb)
-    pad = nb * tb - B
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, I), x.dtype)])
+    lattice = 4 * tb * O * I
+    if o_tile == 0:
+        o_tile = O if lattice <= _AUTO_TILE_LATTICE_BYTES else min(
+            O, _DEFAULT_O_TILE)
+    if i_tile == 0:
+        i_tile = I if lattice <= _AUTO_TILE_LATTICE_BYTES else min(
+            I, _DEFAULT_I_TILE)
+    if fmt_w.is_binary or fmt_x.is_binary:
+        i_tile = I
+    to, ti = min(o_tile, O), min(i_tile, I)
+    nb, no, ni = _cdiv(B, tb), _cdiv(O, to), _cdiv(I, ti)
+    pad_b, pad_o, pad_i = nb * tb - B, no * to - O, ni * ti - I
+    if pad_b or pad_i:
+        x = jnp.pad(x, ((0, pad_b), (0, pad_i)))
+    if pad_o or pad_i:
+        w = jnp.pad(w, ((0, pad_o), (0, pad_i)))
     out = pl.pallas_call(
-        functools.partial(_qmatvec_kernel, fmt_w=fmt_w, fmt_x=fmt_x),
-        grid=(nb,),
+        functools.partial(_qmatvec_kernel, fmt_w=fmt_w, fmt_x=fmt_x,
+                          n_i=ni),
+        grid=(nb, no, ni),
         in_specs=[
-            pl.BlockSpec((O, I), lambda i: (0, 0),
+            pl.BlockSpec((to, ti), lambda b, o, i: (o, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, I), lambda i: (i, 0),
+            pl.BlockSpec((tb, ti), lambda b, o, i: (b, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, O), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tb, to), lambda b, o, i: (b, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * tb, O), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb * tb, no * to), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, to), jnp.float32)],
         interpret=interpret,
     )(w, x)
-    return out[:B]
+    return out[:B, :O]
 
 
 # ---------------------------------------------------------------------------
@@ -145,16 +192,19 @@ def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
 #  _cuda_softmax_fwd, _cuda_mat_trans_mat_product)
 # ---------------------------------------------------------------------------
 
-def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref, *,
+def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
+                       s_ref, *,
                        fmt_att: QFormat, fmt_bin: QFormat, fmt_act: QFormat,
-                       quantized: bool):
+                       score_quantized: bool, sum_quantized: bool):
     m = m_ref[:]                                     # [TB, M, D]
     c = c_ref[:]
     u = u_ref[:]                                     # [TB, D]
     mask = mask_ref[:] != 0                          # [TB, M]
 
-    # scores (mode 2: per-product requant to fmt_att, row-sum requant)
-    if quantized:
+    # scores (mode 2: per-product requant to fmt_att, row-sum requant;
+    # mode-2 scores are quantized regardless of EN_FIXED_POINT —
+    # ops.attention.attention_score:231-232)
+    if score_quantized:
         prod = float_quant(
             float_quant(m, fmt_att) * float_quant(u, fmt_bin)[:, None, :],
             fmt_att)
@@ -162,6 +212,7 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref, *,
     else:
         scores = jnp.einsum("bmd,bd->bm", m, u,
                             preferred_element_type=jnp.float32)
+    s_ref[:] = scores
 
     # masked softmax (max-subtracted exp; lib/layer_cuda.cu:1969-2060)
     neg = np.float32(-1e30)
@@ -174,7 +225,7 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref, *,
     p_ref[:] = p
 
     # quantized weighted sum (per-product requant to fmt_act)
-    if quantized:
+    if sum_quantized:
         prod2 = float_quant(
             float_quant(p, fmt_act)[:, :, None] * float_quant(c, fmt_act),
             fmt_act)
@@ -189,11 +240,13 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref, *,
 def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
                                 mask: jax.Array, fmt_att: QFormat,
                                 fmt_bin: QFormat, fmt_act: QFormat,
-                                quantized: bool = True,
+                                score_quantized: bool = True,
+                                sum_quantized: bool = True,
                                 batch_tile: int = DEFAULT_BATCH_TILE,
                                 interpret: bool = False):
     """One-program attention read for mode 1/2.
-    m, c: [B, M, D]; u: [B, D]; mask: [B, M] -> (o [B, D], p [B, M])."""
+    m, c: [B, M, D]; u: [B, D]; mask: [B, M]
+    -> (o [B, D], p [B, M], scores [B, M])."""
     B, M, D = m.shape
     tb = min(batch_tile, B)
     nb = _cdiv(B, tb)
@@ -204,10 +257,11 @@ def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
         c = jnp.concatenate([c, z3])
         u = jnp.concatenate([u, jnp.zeros((pad, D), u.dtype)])
         mask = jnp.concatenate([mask, jnp.zeros((pad, M), mask.dtype)])
-    o, p = pl.pallas_call(
+    o, p, s = pl.pallas_call(
         functools.partial(_fused_read_kernel, fmt_att=fmt_att,
                           fmt_bin=fmt_bin, fmt_act=fmt_act,
-                          quantized=quantized),
+                          score_quantized=score_quantized,
+                          sum_quantized=sum_quantized),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),
@@ -224,11 +278,14 @@ def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, M), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb * tb, D), jnp.float32),
             jax.ShapeDtypeStruct((nb * tb, M), jnp.float32),
+            jax.ShapeDtypeStruct((nb * tb, M), jnp.float32),
         ),
         interpret=interpret,
     )(m, c, u, mask.astype(jnp.int32))
-    return o[:B], p[:B]
+    return o[:B], p[:B], s[:B]

@@ -42,12 +42,16 @@ def test_fused_attention_read_matches_composition(rng, quantized):
     n_sen = rng.integers(1, M + 1, B)
     mask = jnp.asarray(np.arange(M)[None, :] < n_sen[:, None])
 
-    o, p = fused_attention_read_pallas(m, c, u, mask, fmt, fmt, fmt,
-                                       quantized=quantized, interpret=True)
+    o, p, s = fused_attention_read_pallas(m, c, u, mask, fmt, fmt, fmt,
+                                          score_quantized=quantized,
+                                          sum_quantized=quantized,
+                                          interpret=True)
     scores = qscore(m, u, fmt, fmt, quantized=quantized)
     p_ref = softmax(scores, mask)
     o_ref = qweighted_sum(c, p_ref, mask.astype(jnp.float32), fmt,
                           quantized=quantized)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(scores),
+                               rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
                                rtol=1e-6, atol=1e-7)
     if quantized:
@@ -86,3 +90,67 @@ def test_model_forward_pallas_backend_matches_jnp(rng):
         np.testing.assert_array_equal(np.asarray(out_pl.logits),
                                       np.asarray(out_ref.logits),
                                       err_msg=f"mode {mode}")
+
+
+@pytest.mark.parametrize("o_tile,i_tile", [(8, 8), (8, 16), (128, 512)])
+def test_qmatvec_pallas_tiled_matches_jnp(rng, o_tile, i_tile):
+    """O/I tiling with the f32 VMEM accumulator (VMEM-exceeding configs)
+    must stay bit-identical — including non-dividing tile edges."""
+    fmt_w = QFormat(5, 2)
+    fmt_x = QFormat(2, 5)
+    w = jnp.asarray(rng.normal(0, 1.5, (29, 37)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.5, (19, 37)).astype(np.float32))
+    got = qmatvec_pallas(w, x, fmt_w, fmt_x, o_tile=o_tile, i_tile=i_tile,
+                         interpret=True)
+    want = qmatvec(w, x, fmt_w, fmt_x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_qmatvec_pallas_binary_format_never_pads_i(rng):
+    """Binary formats quantize 0 -> +1, so the I axis must not be padded
+    or tiled; outputs must match the jnp binary path exactly."""
+    fmt_w = QFormat(0, 0)
+    fmt_x = QFormat(2, 5)
+    w = jnp.asarray(rng.normal(0, 1.5, (13, 21)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.5, (9, 21)).astype(np.float32))
+    got = qmatvec_pallas(w, x, fmt_w, fmt_x, i_tile=8, interpret=True)
+    prod = float_quant(float_quant(w, fmt_w) * float_quant(
+        x[:, None, :], fmt_x), fmt_w)
+    want = float_quant(jnp.sum(prod, axis=-1), fmt_w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+def test_fused_attention_read_op_gradients_match_composition(rng, quantized):
+    """The fused op's custom VJP must equal the unfused chain's gradients
+    (raw-float reference backward through score/softmax/weighted-sum)."""
+    import jax
+    from qmann_tpu.ops.fused import fused_attention_read
+    fmt = QFormat(5, 2)
+    B, M, D = 5, 6, 8
+    m = jnp.asarray(rng.normal(0, 1, (B, M, D)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 1, (B, M, D)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 1, (B, D)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1, (B, D)).astype(np.float32))
+    n_sen = rng.integers(1, M + 1, B)
+    mask = np.arange(M)[None, :] < n_sen[:, None]
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    def f_fused(m_, c_, u_):
+        o, _, _ = fused_attention_read(m_, c_, u_, mask_f, fmt, fmt, fmt,
+                                       score_quantized=quantized,
+                                       sum_quantized=quantized,
+                                       interpret=True)
+        return jnp.sum(o * g)
+
+    def f_ref(m_, c_, u_):
+        scores = qscore(m_, u_, fmt, fmt, quantized=quantized)
+        p = softmax(scores, jnp.asarray(mask))
+        o = qweighted_sum(c_, p, mask_f, fmt, quantized=quantized)
+        return jnp.sum(o * g)
+
+    got = jax.grad(f_fused, argnums=(0, 1, 2))(m, c, u)
+    want = jax.grad(f_ref, argnums=(0, 1, 2))(m, c, u)
+    for a, b, name in zip(got, want, ("dm", "dc", "du")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
