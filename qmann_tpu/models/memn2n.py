@@ -161,11 +161,38 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     mask_f = mask.astype(jnp.float32)
     K = cfg.num_hops
 
+    # the Pallas fused read covers the plain mode-1/2 hop chain; feature
+    # heads (scale/maxout/cosine), softmax variants, and linear-start
+    # keep the unfused op chain
+    use_fused = (backend == "pallas" and cfg.attention_mode in (1, 2)
+                 and not remove_softmax
+                 and not (cfg.en_sc_att or cfg.test_maxout
+                          or cfg.en_cosine_sim or cfg.en_shift_based_sm
+                          or cfg.en_exp_table_based))
+
     attn, scores_all = [], []
     for h in range(K):
         _, _, h_w = _hop_weights(params, cfg, h)
         m = embeds[h]                                         # [B, M, D]
         c = embeds[K + h]                                     # [B, M, D]
+
+        if use_fused:
+            from qmann_tpu.ops.fused import fused_attention_read
+            o, p, scores = fused_attention_read(
+                m, c, u, mask_f, fmt_att[h], cfg.fmt_bin, fmt_act[h],
+                score_quantized=(cfg.attention_mode == 2),
+                sum_quantized=q)
+            if cfg.en_linear_mapping:
+                u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin,
+                                   quantized=q, backend=backend)
+            else:
+                u_mapped = u
+            u = qsum(u_mapped, o, fmt_act[h], quantized=q)
+            if cfg.en_non_linearity:
+                u = activation(u, "RELU", fmt_act[h], q)
+            attn.append(p)
+            scores_all.append(scores)
+            continue
 
         if cfg.en_cosine_sim and cfg.attention_mode in (1, 2):
             # EN_COSINE_SIM (define.h:200; _cuda_normalize_vec,
@@ -292,7 +319,10 @@ def prepare_inference(params: Params, cfg: QmannConfig,
     mats = ([w[0] for w in hop_w] + [w[1] for w in hop_w]
             + [_query_weight(params, cfg)])
 
-    fast = (cfg.en_fixed_point and not cfg.en_pe and not cfg.use_pallas
+    # use_pallas composes: the embeddings take the cached-weight MXU route
+    # here (strictly better than the Pallas lattice kernel for them) while
+    # the hop chain keeps the fused Pallas read via _hop_stack
+    fast = (cfg.en_fixed_point and not cfg.en_pe
             and not any(f.is_binary for f in fmts))
     if fast:
         for w, fmt in zip(mats, fmts):
@@ -346,4 +376,5 @@ def forward_prepared(prep: PreparedInference, memory: jax.Array,
         float_quant(flat[..., i * D:(i + 1) * D], fmt_w[i % K])
         for i in range(2 * K))
 
-    return _hop_stack(prep.raw, cfg, u, embeds, mask, False, "jnp")
+    return _hop_stack(prep.raw, cfg, u, embeds, mask, False,
+                      "pallas" if cfg.use_pallas else "jnp")

@@ -22,12 +22,14 @@ import jax.numpy as jnp
 from qmann_tpu.numerics import QFormat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_attention_read(m: jax.Array, c: jax.Array, u: jax.Array,
                          mask_f: jax.Array, fmt_att: QFormat,
                          fmt_bin: QFormat, fmt_act: QFormat,
                          score_quantized: bool = True,
                          sum_quantized: bool = True,
+                         batch_tile: int = 0,
                          interpret: bool = False):
     """m, c: [B, M, D]; u: [B, D]; mask_f: [B, M] float (1 live/0 pad)
     -> (o [B, D], p [B, M], scores [B, M]).
@@ -36,28 +38,31 @@ def fused_attention_read(m: jax.Array, c: jax.Array, u: jax.Array,
     qweighted_sum; scores are returned raw (pre-mask), as the unfused
     path reports them."""
     return _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
-                           score_quantized, sum_quantized, interpret)
+                           score_quantized, sum_quantized, batch_tile,
+                           interpret)
 
 
 def _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
-                    score_quantized, sum_quantized, interpret):
-    from qmann_tpu.ops.pallas.qkernels import fused_attention_read_pallas
+                    score_quantized, sum_quantized, batch_tile, interpret):
+    from qmann_tpu.ops.pallas.qkernels import (
+        DEFAULT_BATCH_TILE, fused_attention_read_pallas,
+    )
     return fused_attention_read_pallas(
         m, c, u, mask_f.astype(jnp.int32), fmt_att, fmt_bin, fmt_act,
         score_quantized=score_quantized, sum_quantized=sum_quantized,
-        interpret=interpret)
+        batch_tile=batch_tile or DEFAULT_BATCH_TILE, interpret=interpret)
 
 
 def _fused_fwd(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
-               score_quantized, sum_quantized, interpret):
+               score_quantized, sum_quantized, batch_tile, interpret):
     o, p, scores = _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin,
                                    fmt_act, score_quantized, sum_quantized,
-                                   interpret)
+                                   batch_tile, interpret)
     return (o, p, scores), (m, c, u, mask_f, p)
 
 
 def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
-               interpret, res, cts):
+               batch_tile, interpret, res, cts):
     m, c, u, mask_f, p = res
     do, dp_in, ds_in = cts
     pm = p * mask_f

@@ -200,6 +200,9 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
     c = c_ref[:]
     u = u_ref[:]                                     # [TB, D]
     mask = mask_ref[:] != 0                          # [TB, M]
+    # minor-dim expansion must happen on the 32-bit mask (Mosaic cannot
+    # reshape i1 vectors into a new minor dim)
+    mask_f3 = mask_ref[:].astype(jnp.float32)[:, :, None]   # [TB, M, 1]
 
     # scores (mode 2: per-product requant to fmt_att, row-sum requant;
     # mode-2 scores are quantized regardless of EN_FIXED_POINT —
@@ -229,12 +232,11 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
         prod2 = float_quant(
             float_quant(p, fmt_act)[:, :, None] * float_quant(c, fmt_act),
             fmt_act)
-        prod2 = prod2 * mask[:, :, None].astype(jnp.float32)
+        prod2 = prod2 * mask_f3
         o_ref[:] = float_quant(jnp.sum(prod2, axis=1), fmt_act)
     else:
-        o_ref[:] = jnp.einsum("bmd,bm->bd", c,
-                              p * mask.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
+        o_ref[:] = jnp.sum(c * (p * mask.astype(jnp.float32))[:, :, None],
+                           axis=1)
 
 
 def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,

@@ -79,7 +79,6 @@ def test_prepared_closes_over_jit(qa1):
     (dict(en_fixed_point=False, attention_mode=1), {}),  # float model
     (dict(binary_mode=True), {}),                        # binary formats
     (dict(en_pe=True), {}),                              # non-integer query
-    (dict(use_pallas=True), {}),                         # pallas backend
     (dict(), dict(max_count=1e6, max_rowsum=1e9)),       # bounds too weak
 ])
 def test_prepared_fallback(qa1, kw, bounds):
@@ -89,8 +88,6 @@ def test_prepared_fallback(qa1, kw, bounds):
     b.update(bounds)
     prep = memn2n.prepare_inference(params, cfg, **b)
     assert not prep.fast
-    if kw.get("use_pallas"):
-        return  # decision verified; pallas kernels don't lower on CPU
     mem, que, mask = _batch(qa1, 32)
     ref = memn2n.forward(params, mem, que, mask, cfg)
     out = memn2n.forward_prepared(prep, mem, que, mask, cfg)
@@ -111,5 +108,22 @@ def test_prepared_saturating_weights_refuse_fast_path(qa1):
     mem, que, mask = _batch(qa1, 32)
     ref = memn2n.forward(params, mem, que, mask, cfg)
     out = memn2n.forward_prepared(prep, mem, que, mask, cfg)
+    np.testing.assert_array_equal(np.asarray(out.logits),
+                                  np.asarray(ref.logits))
+
+
+def test_prepared_composes_with_pallas_hops(qa1):
+    """use_pallas keeps the cached-weight MXU embeddings AND routes the
+    hop chain through the fused Pallas read — still bit-identical."""
+    from jax.experimental.pallas import tpu as pltpu
+    cfg = QmannConfig(verbose=False, use_pallas=True)
+    params = memn2n.init_params(cfg, qa1.dims, jax.random.PRNGKey(6))
+    prep = memn2n.prepare_inference(params, cfg, **_bounds(qa1.dims))
+    assert prep.fast
+    mem, que, mask = _batch(qa1, 32)
+    ref = memn2n.forward(params, mem, que, mask,
+                         cfg.replace(use_pallas=False))
+    with pltpu.force_tpu_interpret_mode():
+        out = memn2n.forward_prepared(prep, mem, que, mask, cfg)
     np.testing.assert_array_equal(np.asarray(out.logits),
                                   np.asarray(ref.logits))
