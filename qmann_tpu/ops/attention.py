@@ -215,6 +215,8 @@ def binary_score(m: jax.Array, u: jax.Array) -> jax.Array:
     """Attention mode 4 as intended by the reference's commented code
     (lib/layer.c:237-251): binarize both operands, then float dot product.
     The reference's live GPU path leaves mode 4 unimplemented."""
+    # default matmul precision is exact here: +/-1 operands and integer
+    # partial sums <= D stay on the bf16 integer grid
     return jnp.einsum("...md,...d->...m", binarize(m), binarize(u),
                       preferred_element_type=jnp.float32)
 

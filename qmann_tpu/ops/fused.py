@@ -70,7 +70,8 @@ def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
     # lib/layer_cuda.cu:2584-2596)
     dc = pm[..., :, None] * do[..., None, :]
     dp = jnp.einsum("...md,...d->...m", c, do,
-                    preferred_element_type=jnp.float32) * mask_f
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) * mask_f
     dp = dp + dp_in
     # softmax bwd p*(g - sum(p*g)) (_cuda_softmax_bwd,
     # lib/layer_cuda.cu:2130-2147); padded entries have p == 0
@@ -79,7 +80,8 @@ def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
     # qscore bwd on raw tensors (lib/layer_cuda.cu:2597-2609)
     dm = ds[..., :, None] * u[..., None, :]
     du = jnp.einsum("...md,...m->...d", m, ds,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return dm, dc, du, jnp.zeros_like(mask_f)
 
 

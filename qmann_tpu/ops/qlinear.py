@@ -139,7 +139,8 @@ def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp",
                       integer_inputs=False):
     if not quantized:
         return jnp.einsum("oi,...i->...o", w, x,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     if backend == "pallas" and x.ndim >= 1:
         from qmann_tpu.ops.pallas.qkernels import qmatvec_pallas
         lead = x.shape[:-1]
@@ -178,8 +179,10 @@ def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs, res, g):
     w, x = res
     # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
     #   w_del += g (x)^T ; grad_x = W^T g
-    dw = jnp.einsum("...o,...i->oi", g, x, preferred_element_type=jnp.float32)
-    dx = jnp.einsum("oi,...o->...i", w, g, preferred_element_type=jnp.float32)
+    dw = jnp.einsum("...o,...i->oi", g, x, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    dx = jnp.einsum("oi,...o->...i", w, g, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return dw, dx
 
 
@@ -240,7 +243,8 @@ def _qembed_mat_impl(s, a, fmt, quantized, backend="jnp",
                      integer_inputs=False):
     if not quantized:
         return jnp.einsum("...mi,di->...md", s, a,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     if backend == "pallas":
         from qmann_tpu.ops.pallas.qkernels import qmatvec_pallas
         lead = s.shape[:-1]
@@ -276,8 +280,10 @@ def _qembed_mat_bwd(fmt, quantized, backend, integer_inputs, res, g):
     s, a = res
     # dense_mat_bwd: A_del += grad^T S in float
     # (_cuda_mat_trans_mat_product_accum, lib/layer_cuda.cu:637-690)
-    da = jnp.einsum("...md,...mi->di", g, s, preferred_element_type=jnp.float32)
-    ds = jnp.einsum("...md,di->...mi", g, a, preferred_element_type=jnp.float32)
+    da = jnp.einsum("...md,...mi->di", g, s, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    ds = jnp.einsum("...md,di->...mi", g, a, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return ds, da
 
 
@@ -360,9 +366,11 @@ def _qembed_mat_multi_bwd(fmts, quantized, backend, integer_inputs, res, gs):
     # raw-float per-entry VJPs (dense_mat_bwd semantics), input grads summed
     dws = tuple(
         jnp.einsum("...md,...mi->di", g, s,
-                   preferred_element_type=jnp.float32) for g in gs)
+                   preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) for g in gs)
     ds = sum(jnp.einsum("...md,di->...mi", g, w,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
              for g, w in zip(gs, weights))
     return ds, dws
 
@@ -394,7 +402,8 @@ def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
 def _qscore_impl(m, u, fmt_m, fmt_u, quantized):
     if not quantized:
         return jnp.einsum("...md,...d->...m", m, u,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     prod = _qproducts(m, u[..., None, :], fmt_m, fmt_u, fmt_m)
     return float_quant(jnp.sum(prod, axis=-1), fmt_m)
 
@@ -408,7 +417,8 @@ def _qscore_bwd(fmt_m, fmt_u, quantized, res, g):
     # float grads on raw tensors (cuda_dot_mat_vec_bwd non-trans branch,
     # lib/layer_cuda.cu:2597-2609): grad_M = g (x) u ; grad_u = M^T g
     dm = g[..., :, None] * u[..., None, :]
-    du = jnp.einsum("...md,...m->...d", m, g, preferred_element_type=jnp.float32)
+    du = jnp.einsum("...md,...m->...d", m, g, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return dm, du
 
 
@@ -442,7 +452,8 @@ def qweighted_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
 def _qweighted_sum_impl(c, p, row_mask, fmt, quantized):
     if not quantized:
         return jnp.einsum("...md,...m->...d", c, p * row_mask,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     prod = _qproducts(p[..., :, None], c, fmt, fmt, fmt)
     prod = prod * row_mask[..., :, None]
     return float_quant(jnp.sum(prod, axis=-2), fmt)
@@ -458,7 +469,8 @@ def _qweighted_sum_bwd(fmt, quantized, res, g):
     # lib/layer_cuda.cu:2584-2596): grad_C = p (x) g ; grad_p = C g
     dc = (p * row_mask)[..., :, None] * g[..., None, :]
     dp = jnp.einsum("...md,...d->...m", c, g,
-                    preferred_element_type=jnp.float32) * row_mask
+                    preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST) * row_mask
     return dc, dp, jnp.zeros_like(row_mask)
 
 
@@ -476,7 +488,8 @@ def qweighted_partial_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
     qweighted_sum."""
     if not quantized:
         return jnp.einsum("...md,...m->...d", c, p * row_mask,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     prod = _qproducts(p[..., :, None], c, fmt, fmt, fmt)
     prod = prod * row_mask[..., :, None]
     return jnp.sum(prod, axis=-2)
