@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     from qmann_tpu.config import QmannConfig
     from qmann_tpu.data.native import load_task_native
     from qmann_tpu.train.multi import train_tasks_multi
+    from qmann_tpu.utils.reporting import (
+        TaskLoopResult, TaskResult, write_run_outputs,
+    )
 
     os.makedirs(args.out_dir, exist_ok=True)
     seeds = parse_range(args.seeds)
@@ -109,9 +112,21 @@ def main(argv=None) -> int:
                                "runs": len(res.err_test),
                                "time_train": res.time_train,
                                "time_test": res.time_test})
+        task_results = []
         for ti in task_list:
             sel = [i for i, t in enumerate(res.task_indices) if t == ti]
             errs = [float(res.err_test[i]) for i in sel]
+            # result.csv / result_all.csv parity (run.sh's per-loop rows);
+            # the family trains as one program, so per-run wall-clock is
+            # the amortized share
+            task_results.append(TaskResult(ti, [
+                TaskLoopResult(
+                    res.time_train / len(res.err_test),
+                    float(res.history[-1]["err_train"][i])
+                    if res.history else 1.0,
+                    res.time_test / len(res.err_test),
+                    float(res.err_test[i]))
+                for i in sel]))
             row = {
                 "iwl": iwl, "task": ti,
                 "err_test_avg": sum(errs) / len(errs),
@@ -127,6 +142,8 @@ def main(argv=None) -> int:
             summary.append(row)
             print(json.dumps(row), flush=True)
         _write_summary(args.out_dir, summary)
+        write_run_outputs(os.path.join(args.out_dir, f"iwl{iwl}"), cfg,
+                          task_results)
         for k in ("cost_train", "err_train", "cost_valid", "err_valid"):
             hist_arrays[f"iwl{iwl}_{k}"] = np.stack(
                 [h[k] for h in res.history])          # [E, R]
