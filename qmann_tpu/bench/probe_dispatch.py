@@ -80,8 +80,31 @@ def main(argv=None) -> int:
     jax.block_until_ready(preds)
     scan_qps = n * k / (time.perf_counter() - t0)
 
+    # per-call with serving-prepared weights (the engine's regime): the
+    # per-call fixed work the prepared path removes — weight quantize/
+    # stack/cast + fast-path cond dispatch — is exactly what this probe's
+    # per-call number pays on every wave
+    prepared = memn2n.prepare_inference(
+        params, cfg, max_count=float(data.dims.max_word + 1),
+        max_rowsum=float(data.dims.max_word + 1))
+
+    @jax.jit
+    def infer_prepared(mem, que, ans, mask):
+        out = memn2n.forward_prepared(prepared, mem, que, mask, cfg)
+        return cross_entropy(out.logits, ans).pred
+
+    pred = infer_prepared(mem, que, ans, mask)
+    jax.block_until_ready(pred)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        pred = infer_prepared(mem, que, ans, mask)
+    jax.block_until_ready(pred)
+    per_call_prepared = n * args.iters / (time.perf_counter() - t0)
+
     print(json.dumps({
         "per_call_qps": round(per_call, 1),
+        "per_call_prepared_qps": round(per_call_prepared, 1),
+        "prepared_speedup_x": round(per_call_prepared / per_call, 2),
         "device_scan_qps": round(scan_qps, 1),
         "dispatch_overhead_x": round(scan_qps / per_call, 2),
     }))
