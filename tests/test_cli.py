@@ -101,3 +101,21 @@ def test_cli_joint_trains_once_tests_per_task(tmp_path):
         assert f"task {t} (" in r.stdout
     csv = (tmp_path / "result.csv").read_text()
     assert csv.strip().splitlines()[-1].startswith("3,")
+
+
+@needs_data
+def test_megasweep_smoke_emits_json_and_outputs(tmp_path):
+    r = run_cli(["qmann_tpu.bench.megasweep", "--tasks", "1", "--seeds",
+                 "0,1", "--iwl", "5", "--epochs", "1", "--max-samples",
+                 "120", "--max-test-samples", "30", "--save-best-model",
+                 "--out-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines()
+            if l.startswith("{")]
+    data_rows = [row for row in rows if "errs" in row]
+    assert data_rows and len(data_rows[0]["errs"]) == 2
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "history.npz").exists()
+    assert (tmp_path / "meta.json").exists()
+    assert (tmp_path / "iwl5" / "result.csv").exists()
+    assert (tmp_path / "iwl5" / "result_all.csv").exists()
