@@ -26,6 +26,11 @@ MITIGATIONS = [
     ("wd_1e-3", dict(lambda_=0.001)),
     ("wd_1e-2", dict(lambda_=0.01)),
     ("sc_att+wd_1e-3", dict(en_sc_att=True, lambda_=0.001)),
+    # the reference's own EN_COSINE_SIM (define.h:200): L2-normalized
+    # operands bound scores to [-1, 1], which CANNOT saturate the
+    # Q-format — the structural candidate fix (at the cost of coarse
+    # score resolution: Q5.2's step is 0.25)
+    ("cosine_sim", dict(en_cosine_sim=True)),
 ]
 
 
