@@ -50,6 +50,8 @@ def main(argv=None) -> int:
     p.add_argument("--bw-wl", type=int, default=8)
     p.add_argument("--binary-mode", action="store_true")
     p.add_argument("--sc-att", action="store_true")
+    p.add_argument("--att-shift", action="store_true",
+                   help="opt-in saturation mitigation (qscore score_mod)")
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--eval-chunk", type=int, default=128)
@@ -82,6 +84,7 @@ def main(argv=None) -> int:
             "attention_mode": args.attention_mode,
             "fixed_point": not args.no_fixed_point, "bw_wl": args.bw_wl,
             "binary_mode": args.binary_mode, "sc_att": args.sc_att,
+            "att_shift": args.att_shift,
             "weight_decay": args.weight_decay, "stages": []}
     hist_arrays = {}
     for iwl in parse_range(args.iwl):
@@ -91,6 +94,7 @@ def main(argv=None) -> int:
                           bw_wl=args.bw_wl,
                           binary_mode=args.binary_mode,
                           en_sc_att=args.sc_att,
+                          en_att_shift=args.att_shift,
                           lambda_=args.weight_decay,
                           en_save_best_model=args.save_best_model,
                           data_path=args.data_path,

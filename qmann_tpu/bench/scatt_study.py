@@ -31,6 +31,15 @@ MITIGATIONS = [
     # Q-format — the structural candidate fix (at the cost of coarse
     # score resolution: Q5.2's step is 0.25)
     ("cosine_sim", dict(en_cosine_sim=True)),
+    # TPU-native opt-in mitigations (NOT reference knobs; ops/qlinear.qscore
+    # score_mod): "att_shift" subtracts the row max of the RAW score sums
+    # before the output requant — softmax is shift-invariant, so the score
+    # distribution's shape survives quantization instead of pinning at the
+    # bound; "att_clip" clips the raw sums at maxf - step with a
+    # straight-through gradient (expected no-op vs the saturating requant —
+    # measured to close the question)
+    ("att_shift", dict(en_att_shift=True)),
+    ("att_clip", dict(en_att_clip=True)),
 ]
 
 

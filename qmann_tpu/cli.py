@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sc-att", action="store_true",
                    help="learnable scale before the attention softmax "
                         "(EN_SC_ATT, define.h:59)")
+    p.add_argument("--att-shift", action="store_true",
+                   help="opt-in saturation mitigation: shift raw attention "
+                        "score sums by the row max before requant "
+                        "(NOT a reference knob; see BENCH.md)")
+    p.add_argument("--att-clip", action="store_true",
+                   help="opt-in saturation mitigation: clip raw attention "
+                        "score sums at maxf - step (STE)")
     p.add_argument("--non-linearity", action="store_true",
                    help="ReLU between hops (EN_NON_LINEARITY, define.h:294)")
     p.add_argument("--grad-quant", action="store_true",
@@ -111,6 +118,8 @@ def config_from_args(args) -> QmannConfig:
         binary_mode=args.binary_mode,
         en_shift_based_sm=args.shift_based_sm,
         en_sc_att=args.sc_att,
+        en_att_shift=args.att_shift,
+        en_att_clip=args.att_clip,
         en_non_linearity=args.non_linearity,
         en_grad_quant=args.grad_quant,
         quant_mode=args.quant_mode,

@@ -75,6 +75,11 @@ class QmannConfig:
     en_exp_table_based: bool = False # :315  exp_plan softmax
     en_cosine_sim: bool = False      # :200
     test_maxout: bool = False        # :309  maxout-attention trial model
+    # opt-in saturation-collapse mitigations (NOT in the reference; OFF by
+    # default for parity — see BENCH.md's collapse study and
+    # ops/qlinear.qscore's score_mod):
+    en_att_shift: bool = False       # shift raw score sums by the row max
+    en_att_clip: bool = False        # clip raw score sums at maxf - step
 
     # --- training (define.h:204-254, :313) ---
     learning_rate: float = 0.3       # :241/:252
@@ -113,6 +118,18 @@ class QmannConfig:
     def __post_init__(self):
         if self.binary_mode:
             object.__setattr__(self, "iwl", 0)
+        if self.en_att_shift and self.en_att_clip:
+            raise ValueError("en_att_shift and en_att_clip are mutually "
+                             "exclusive score mitigations")
+
+    @property
+    def att_score_mod(self) -> str:
+        """score_mod for ops.qscore ("none" unless a mitigation is on)."""
+        if self.en_att_shift:
+            return "shift"
+        if self.en_att_clip:
+            return "clip"
+        return "none"
 
     # ------------------------------------------------------------------
     # Derived Q-format wiring (MemN2N/MemN2N.c:679-767)

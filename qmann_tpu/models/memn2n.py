@@ -166,6 +166,7 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     # keep the unfused op chain
     use_fused = (backend == "pallas" and cfg.attention_mode in (1, 2)
                  and not remove_softmax
+                 and cfg.att_score_mod == "none"
                  and not (cfg.en_sc_att or cfg.test_maxout
                           or cfg.en_cosine_sim or cfg.en_shift_based_sm
                           or cfg.en_exp_table_based))
@@ -208,7 +209,7 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             m_sc, u_sc, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
             num_bit=cfg.num_bits_attention,
             const_scale=cfg.attention_const_scale,
-            backend=backend)                                  # [B, M]
+            backend=backend, score_mod=cfg.att_score_mod)     # [B, M]
         if cfg.en_sc_att and not remove_softmax:
             scores = scale_apply(params["scale"][h], scores)
         if cfg.test_maxout:

@@ -225,13 +225,21 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
                     fmt_att: QFormat, fmt_bin: QFormat,
                     num_bit: int | None = None,
                     const_scale: int = DEFAULT_CONST_SCALE,
-                    backend: str = "jnp") -> jax.Array:
-    """Dispatch over the four attention modes (lib/layer.c:167-251)."""
+                    backend: str = "jnp",
+                    score_mod: str = "none") -> jax.Array:
+    """Dispatch over the four attention modes (lib/layer.c:167-251).
+
+    score_mod (qlinear.qscore): opt-in saturation mitigation, applied to
+    the quantized-dot mode only — mode 1 is float (softmax is
+    shift-invariant there, nothing saturates) and modes 3/4 produce
+    bounded scores (|hamming| <= D * 2^const_scale, |binary| <= D) that
+    sit far from the Q-format bound at the reference dims."""
     from qmann_tpu.ops.qlinear import qscore
     if attention_mode == 1:
         return qscore(m, u, fmt_att, fmt_bin, quantized=False)
     if attention_mode == 2:
-        return qscore(m, u, fmt_att, fmt_bin, quantized=True)
+        return qscore(m, u, fmt_att, fmt_bin, quantized=True,
+                      score_mod=score_mod)
     if attention_mode == 3:
         nb = num_bit if num_bit is not None else 1 + fmt_att.iwl + fmt_att.frac
         return hamming_score(m, u, fmt_att.iwl, nb, const_scale,

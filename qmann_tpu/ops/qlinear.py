@@ -382,9 +382,9 @@ qembed_mat_multi.defvjp(_qembed_mat_multi_fwd, _qembed_mat_multi_bwd)
 # qscore: scores = M @ u  (attention modes 1/2; lib/layer_cuda.cu:2406-2443)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
-           quantized: bool = True) -> jax.Array:
+           quantized: bool = True, score_mod: str = "none") -> jax.Array:
     """Attention score: m [..., M, D] x u [..., D] -> [..., M].
 
     Mode 2 (quantized dot, MemN2N/define.h:15 default): per-product requant
@@ -392,27 +392,56 @@ def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
     _cuda_mat_mat_trans_product with iwl_out=iwl_m, lib/layer_cuda.cu:2438).
     Mode 1 (float): quantized=False.
 
+    score_mod (opt-in saturation-collapse mitigations, NOT in the
+    reference; quantized path only — see BENCH.md's collapse study):
+      "none"  reference-faithful output requant (default)
+      "shift" subtract the row max of the RAW product sums before the
+              output requant.  Softmax is shift-invariant, so this
+              preserves the score distribution's shape instead of pinning
+              every large row at the Q-format bound (the diagnosed
+              collapse mechanism); rows far below the max saturate at the
+              NEGATIVE bound, which softmax treats as negligible — the
+              correct semantics.  The max is taken over ALL rows (padded
+              rows sum to 0), matching the sharded variant.
+      "clip"  clip the raw sums at +/-(maxf - 2^-frac) before the requant
+              (straight-through gradient, like every quantizer here).
+
+    The backward is the reference's raw-float surrogate either way
+    (shift adds a constant per row — softmax-gradient-invariant; clip is
+    STE), so training differs only through the forward scores.
+
     Padded memory rows are handled by the caller (mask applied before the
     softmax); the op itself computes every row like the reference computes
     every live row.
     """
-    return _qscore_impl(m, u, fmt_m, fmt_u, quantized)
+    return _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod)
 
 
-def _qscore_impl(m, u, fmt_m, fmt_u, quantized):
+def _apply_score_mod(raw: jax.Array, fmt: QFormat, score_mod: str):
+    """Pre-requant adjustment of raw score sums (see qscore.score_mod)."""
+    if score_mod == "shift":
+        return raw - jnp.max(raw, axis=-1, keepdims=True)
+    if score_mod == "clip":
+        bound = fixed_max_float(fmt.iwl, fmt.frac) - 2.0 ** (-fmt.frac)
+        return jnp.clip(raw, -bound, bound)
+    return raw
+
+
+def _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod="none"):
     if not quantized:
         return jnp.einsum("...md,...d->...m", m, u,
                           preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     prod = _qproducts(m, u[..., None, :], fmt_m, fmt_u, fmt_m)
-    return float_quant(jnp.sum(prod, axis=-1), fmt_m)
+    raw = jnp.sum(prod, axis=-1)
+    return float_quant(_apply_score_mod(raw, fmt_m, score_mod), fmt_m)
 
 
-def _qscore_fwd(m, u, fmt_m, fmt_u, quantized):
-    return _qscore_impl(m, u, fmt_m, fmt_u, quantized), (m, u)
+def _qscore_fwd(m, u, fmt_m, fmt_u, quantized, score_mod):
+    return _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod), (m, u)
 
 
-def _qscore_bwd(fmt_m, fmt_u, quantized, res, g):
+def _qscore_bwd(fmt_m, fmt_u, quantized, score_mod, res, g):
     m, u = res
     # float grads on raw tensors (cuda_dot_mat_vec_bwd non-trans branch,
     # lib/layer_cuda.cu:2597-2609): grad_M = g (x) u ; grad_u = M^T g
@@ -423,6 +452,34 @@ def _qscore_bwd(fmt_m, fmt_u, quantized, res, g):
 
 
 qscore.defvjp(_qscore_fwd, _qscore_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def qscore_partial_sum(m: jax.Array, u: jax.Array, fmt_m: QFormat,
+                       fmt_u: QFormat, quantized: bool = True) -> jax.Array:
+    """qscore WITHOUT the final output re-quantization — the local
+    building block for memory-bank-sharded score_mod="shift": each device
+    sums its shard's quantized products (exact on the 2^-frac grid), the
+    global row max is taken with pmax, and the single shift + output
+    quantization is applied globally (parallel/distributed.py).  Same
+    raw-float backward as qscore."""
+    if not quantized:
+        return jnp.einsum("...md,...d->...m", m, u,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    prod = _qproducts(m, u[..., None, :], fmt_m, fmt_u, fmt_m)
+    return jnp.sum(prod, axis=-1)
+
+
+def _qps_fwd(m, u, fmt_m, fmt_u, quantized):
+    return qscore_partial_sum(m, u, fmt_m, fmt_u, quantized), (m, u)
+
+
+def _qps_bwd(fmt_m, fmt_u, quantized, res, g):
+    return _qscore_bwd(fmt_m, fmt_u, quantized, "none", res, g)
+
+
+qscore_partial_sum.defvjp(_qps_fwd, _qps_bwd)
 
 
 # ---------------------------------------------------------------------------

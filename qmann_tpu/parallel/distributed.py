@@ -38,9 +38,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from qmann_tpu.config import QmannConfig
-from qmann_tpu.numerics import quantize_ste
+from qmann_tpu.numerics import fixed_max_float, quantize_ste
 from qmann_tpu.ops.attention import attention_score
-from qmann_tpu.ops.qlinear import qweighted_partial_sum
+from qmann_tpu.ops.qlinear import qscore_partial_sum, qweighted_partial_sum
 from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # np scalar, not jnp: a module-level jnp call would initialize
@@ -70,9 +70,30 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
     gradient exactly."""
     fmt_att = cfg.fmt_att[hop]
     fmt_act = cfg.fmt_act[hop]
-    scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
-                               cfg.fmt_bin, num_bit=cfg.num_bits_attention,
-                               const_scale=cfg.attention_const_scale)
+    score_mod = cfg.att_score_mod
+    if score_mod != "none" and cfg.attention_mode == 2:
+        # the shift needs the GLOBAL row max of the raw product sums: sum
+        # each shard's quantized products without the output requant (exact
+        # on the 2^-frac grid), pmax the raw row maxima over the memory
+        # shards, then apply the single shift/clip + output quantization
+        # per shard — bit-identical to the single-device qscore(score_mod)
+        raw_l = qscore_partial_sum(m_l, u, fmt_att, cfg.fmt_bin,
+                                   cfg.en_fixed_point)
+        if score_mod == "shift":
+            gmax = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(raw_l, axis=-1)), axis)
+            raw_l = raw_l - _vary(gmax, axis)[..., None]
+        else:  # clip: a per-element op, no cross-shard statistic needed
+            bound = fixed_max_float(fmt_att.iwl, fmt_att.frac) \
+                - 2.0 ** (-fmt_att.frac)
+            raw_l = jnp.clip(raw_l, -bound, bound)
+        scores_l = quantize_ste(raw_l, fmt_att) if cfg.en_fixed_point \
+            else raw_l
+    else:
+        scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
+                                   cfg.fmt_bin,
+                                   num_bit=cfg.num_bits_attention,
+                                   const_scale=cfg.attention_const_scale)
     scores_l = jnp.where(mask_l, scores_l, _NEG_LARGE)
 
     # distributed softmax statistics: one max + one sum per row over ICI.
