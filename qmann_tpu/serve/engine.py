@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Sequence
 
@@ -39,10 +40,23 @@ class Request:
     future: "Future[int]" = dataclasses.field(default_factory=Future)
 
 
+@dataclasses.dataclass
+class EngineStats:
+    """Per-engine wave counters (bench.engine_bench reads these)."""
+    waves: int = 0
+    requests: int = 0
+    vectorize_s: float = 0.0   # host BoW vectorization inside the dispatcher
+    infer_s: float = 0.0       # blocked jit-call time (dispatch + device)
+    failed_waves: int = 0
+
+    def snapshot(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
 class InferenceEngine:
     def __init__(self, params: Dict, cfg: QmannConfig, dims: DataDims,
                  dictionary: Dictionary, batch_size: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, prepare: bool = True):
         import jax
         import jax.numpy as jnp
         from qmann_tpu.models import memn2n
@@ -56,23 +70,31 @@ class InferenceEngine:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self._queue: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._jnp = jnp
+        self.stats = EngineStats()
 
         # freeze weights into serving layout once per engine: quantized /
         # stacked / cast, exact-MXU routes decided statically against the
         # vectorizer's feature bounds (counts are per-row word counts plus
-        # one temporal one-hot, so a row's count sum is < max_word + 1)
+        # one temporal one-hot, so a row's count sum is < max_word + 1).
+        # prepare=False keeps the training forward (per-wave weight
+        # processing + runtime fast-path dispatch) — the A/B baseline for
+        # bench.engine_bench.
         self.prepared = memn2n.prepare_inference(
             self.params, cfg, max_count=float(dims.max_word + 1),
-            max_rowsum=float(dims.max_word + 1))
+            max_rowsum=float(dims.max_word + 1)) if prepare else None
         prepared = self.prepared
+        raw_params = self.params
 
         # the prepared weights are closed over (not jit arguments): the
         # static fast-path decision stays a Python bool and XLA embeds the
         # frozen weights in their serving layout
         @jax.jit
         def _infer(memory, question, mask):
-            out = memn2n.forward_prepared(prepared, memory, question, mask,
-                                          cfg)
+            if prepared is not None:
+                out = memn2n.forward_prepared(prepared, memory, question,
+                                              mask, cfg)
+            else:
+                out = memn2n.forward(raw_params, memory, question, mask, cfg)
             return argmax_last(out.logits, axis=-1)
 
         self._infer = _infer
@@ -168,11 +190,19 @@ class InferenceEngine:
                 except queue.Empty:
                     deadline_passed = True
             try:
+                t0 = time.perf_counter()
                 mem, que, mask = self._vectorize(wave)
+                t1 = time.perf_counter()
                 preds = np.asarray(self._infer(jnp.asarray(mem),
                                                jnp.asarray(que),
                                                jnp.asarray(mask)))
+                t2 = time.perf_counter()
+                self.stats.waves += 1
+                self.stats.requests += len(wave)
+                self.stats.vectorize_s += t1 - t0
+                self.stats.infer_s += t2 - t1
             except Exception as exc:  # fail the wave, keep serving
+                self.stats.failed_waves += 1
                 for r in wave:
                     if not r.future.done():
                         r.future.set_exception(exc)

@@ -183,3 +183,42 @@ def test_samples_from_split_roundtrip():
         d.lookup(w) for w in ["mary", "went", "home"])
     assert s.te_indices == [dims.dim_dict + 1, dims.dim_dict]
     assert s.answer == [d.lookup("home")]
+
+
+def test_engine_stats_and_unprepared_parity():
+    """EngineStats counters fill in, and the prepare=False engine (the
+    engine_bench A/B baseline) answers identically to the prepared one."""
+    cfg, dims, d, params = _toy_setup()
+    req = ([["mary", "went", "home"]], ["where", "is", "mary"])
+    answers = {}
+    for prepare in (True, False):
+        eng = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                              max_wait_ms=1.0, prepare=prepare).start()
+        try:
+            futs = [eng.submit(*req) for _ in range(6)]
+            answers[prepare] = [f.result(timeout=60) for f in futs]
+            st = eng.stats.snapshot()
+            assert st["requests"] == 6
+            assert 2 <= st["waves"] <= 6  # batch 4: at least two waves
+            assert st["infer_s"] > 0.0 and st["vectorize_s"] > 0.0
+            assert st["failed_waves"] == 0
+        finally:
+            eng.stop()
+    assert (eng.prepared is None) and answers[True] == answers[False]
+
+
+def test_engine_bench_pass_runner():
+    """_run_pass drives an engine from multiple producers and returns a
+    latency per request."""
+    from qmann_tpu.bench.engine_bench import _run_pass
+    from qmann_tpu.data.babi import Sample
+    cfg, dims, d, params = _toy_setup()
+    eng = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                          max_wait_ms=1.0).start()
+    try:
+        samples = [Sample([["mary", "went", "home"]],
+                          ["where", "is", "mary"], ["home"])] * 10
+        wall, lat = _run_pass(eng, samples, producers=3)
+        assert wall > 0 and len(lat) == 10 and all(t > 0 for t in lat)
+    finally:
+        eng.stop()
