@@ -110,6 +110,10 @@ class QmannConfig:
 
     # --- TPU execution ---
     use_pallas: bool = False   # route hot-op forwards through Pallas kernels
+    # serving/bench only: run the whole K-hop chain as ONE Pallas program
+    # inside forward_prepared (mode 2, quantized, no feature heads);
+    # bit-identical to the unfused chain (tests/test_pallas.py)
+    use_fused_chain: bool = False
 
     # --- misc ---
     seed: int = 0

@@ -373,6 +373,36 @@ def forward_prepared(prep: PreparedInference, memory: jax.Array,
 
     # all 2K hop embeddings in one MXU pass, requantized per hop format
     flat = _mxu_matmul(memory.astype(dt), prep.embed_wt, bf16)  # [B,M,2K*D]
+
+    # whole-chain Pallas route: ONE kernel for the K-hop controller loop,
+    # consuming the RAW matmul output (per-hop requants happen in-kernel,
+    # replacing the 2K slice+requant fusions) — docs/PROFILE_r3.md's lever
+    # on the serial hop-chain dispatch floor
+    use_chain = (cfg.use_fused_chain and cfg.attention_mode == 2
+                 and cfg.en_fixed_point and cfg.att_score_mod == "none"
+                 and not (cfg.en_sc_att or cfg.test_maxout
+                          or cfg.en_cosine_sim or cfg.en_shift_based_sm
+                          or cfg.en_exp_table_based)
+                 and not cfg.fmt_bin.is_binary
+                 and not any(f.is_binary for f in fmt_w))
+    if use_chain:
+        from qmann_tpu.ops.pallas.qkernels import fused_hop_chain_pallas
+        if cfg.en_linear_mapping:
+            if cfg.type_weight_tying == 1:
+                hm = prep.raw["H"]                        # [K, D, D]
+            else:
+                hm = jnp.broadcast_to(prep.raw["H"],
+                                      (K,) + prep.raw["H"].shape)
+        else:
+            hm = jnp.zeros((K, D, D), jnp.float32)
+        u_fin, p, s = fused_hop_chain_pallas(
+            flat, u, hm, mask, fmt_w, cfg.fmt_att, cfg.fmt_bin,
+            cfg.fmt_act, linear_mapping=cfg.en_linear_mapping,
+            non_linearity=cfg.en_non_linearity)
+        logits = qmatvec(_output_weight(prep.raw, cfg), u_fin,
+                         cfg.fmt_ds_ans, cfg.fmt_ds_ans, quantized=False)
+        return ForwardResult(logits, p, s)
+
     embeds = tuple(
         float_quant(flat[..., i * D:(i + 1) * D], fmt_w[i % K])
         for i in range(2 * K))

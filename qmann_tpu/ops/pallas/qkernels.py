@@ -239,6 +239,142 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
                            axis=1)
 
 
+def _fused_chain_kernel(flat_ref, u_ref, h_ref, mask_ref,
+                        u_out_ref, p_ref, s_ref, *,
+                        fmts_w, fmts_att, fmt_bin, fmts_act, n_hops: int,
+                        linear_mapping: bool, non_linearity: bool):
+    """The WHOLE K-hop controller chain in one VMEM-resident program.
+
+    flat: [TB, M, 2K*D] — the stacked embedding MXU matmul output, RAW
+    (pre-requant); the per-hop-format requants happen in-register here,
+    replacing the 2K XLA slice+requant fusions.  u: [TB, D] query
+    embedding (already quantized at fmt_w[0]).  h: [K, D, D] raw lin_map
+    weights.  Per hop h (mode 2, EN_FIXED_POINT semantics — bit-identical
+    to models.memn2n._hop_stack's unfused op chain):
+      score  = Q(sum_d Q(Q(m,att)*Q(u,bin), att), att)      (qscore)
+      p      = masked softmax(score)                        (ops.softmax)
+      o      = Q(sum_m mask*Q(Q(p,act)*Q(c,act), act), act) (qweighted_sum)
+      u_map  = Q(sum_i Q(Q(H,w)*Q(u,bin), w), w)            (qmatvec)
+      u      = Q(Q(u_map,act)+Q(o,act), act)                (qsum)
+      [+ ReLU requant when EN_NON_LINEARITY]
+    """
+    flat = flat_ref[:]                               # [TB, M, 2K*D]
+    u = u_ref[:]                                     # [TB, D]
+    mask = mask_ref[:] != 0                          # [TB, M]
+    mask_f3 = mask_ref[:].astype(jnp.float32)[:, :, None]
+    neg = np.float32(-1e30)
+    D = u.shape[-1]
+    K = n_hops
+    for h in range(K):
+        fmt_w, fmt_att, fmt_act = fmts_w[h], fmts_att[h], fmts_act[h]
+        m = float_quant(flat[:, :, h * D:(h + 1) * D], fmt_w)
+        c = float_quant(flat[:, :, (K + h) * D:(K + h + 1) * D], fmt_w)
+        uq_bin = float_quant(u, fmt_bin)
+        # qscore
+        prod = float_quant(
+            float_quant(m, fmt_att) * uq_bin[:, None, :], fmt_att)
+        scores = float_quant(jnp.sum(prod, axis=-1), fmt_att)   # [TB, M]
+        s_ref[:, h, :] = scores
+        # masked softmax (ops.softmax._masked_exp_parts semantics)
+        sm = jnp.where(mask, scores, neg)
+        mx = jnp.max(sm, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(sm - mx), 0.0)
+        total = jnp.sum(e, axis=-1, keepdims=True)
+        total = jnp.where(total == 0.0, 1.0, total)
+        p = e / total
+        p_ref[:, h, :] = p
+        # qweighted_sum
+        prod2 = float_quant(
+            float_quant(p, fmt_act)[:, :, None] * float_quant(c, fmt_act),
+            fmt_act)
+        o = float_quant(jnp.sum(prod2 * mask_f3, axis=1), fmt_act)
+        # lin_map (qmatvec slow-path lattice, [TB, D, D] in VMEM)
+        if linear_mapping:
+            wq = float_quant(h_ref[h], fmt_w)                   # [D, D]
+            wp = float_quant(wq[None, :, :] * uq_bin[:, None, :], fmt_w)
+            u_m = float_quant(jnp.sum(wp, axis=-1), fmt_w)
+        else:
+            u_m = u
+        # qsum residual
+        u = float_quant(
+            float_quant(u_m, fmt_act) + float_quant(o, fmt_act), fmt_act)
+        if non_linearity:
+            u = float_quant(jnp.maximum(u, 0.0), fmt_act)
+    u_out_ref[:] = u
+
+
+# batch tile for the chain kernel: flat block [TB, M, 2K*D] plus the
+# [TB, D, D] lin_map lattice must fit VMEM; 200 keeps both < 3 MB at the
+# reference dims while amortizing grid overhead over few programs
+DEFAULT_CHAIN_TILE = 200
+
+
+def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
+                           hmats: jax.Array, mask: jax.Array,
+                           fmts_w, fmts_att, fmt_bin, fmts_act,
+                           linear_mapping: bool = True,
+                           non_linearity: bool = False,
+                           batch_tile: int = DEFAULT_CHAIN_TILE,
+                           interpret: bool = False):
+    """One Pallas program for the whole K-hop chain (mode 2, quantized).
+
+    flat: [B, M, 2K*D] raw stacked-embedding matmul output; u: [B, D];
+    hmats: [K, D, D] (pass zeros with linear_mapping=False); mask: [B, M]
+    -> (u_final [B, D], p [K, B, M], scores [K, B, M]).
+
+    Replaces the ~15 serial XLA fusions + 2K slice/requant ops of the
+    unfused hop chain (docs/PROFILE_r3.md: together ~316us of the
+    ~840us/batch scan budget) with ONE kernel launch per batch tile.
+    Forward-only: serving/bench path (models.memn2n.forward_prepared),
+    training keeps the differentiable op chain.
+    """
+    B, M, KD2 = flat.shape
+    K = hmats.shape[0]
+    D = u.shape[-1]
+    assert KD2 == 2 * K * D
+    tb = min(batch_tile, B)
+    nb = _cdiv(B, tb)
+    pad = nb * tb - B
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, M, KD2), flat.dtype)])
+        u = jnp.concatenate([u, jnp.zeros((pad, D), u.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad, M), mask.dtype)])
+    u_out, p, s = pl.pallas_call(
+        functools.partial(_fused_chain_kernel, fmts_w=tuple(fmts_w),
+                          fmts_att=tuple(fmts_att), fmt_bin=fmt_bin,
+                          fmts_act=tuple(fmts_act), n_hops=K,
+                          linear_mapping=linear_mapping,
+                          non_linearity=non_linearity),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((tb, M, KD2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, M), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, K, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, K, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * tb, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb * tb, K, M), jnp.float32),
+            jax.ShapeDtypeStruct((nb * tb, K, M), jnp.float32),
+        ),
+        interpret=interpret,
+    )(flat, u, hmats, mask.astype(jnp.int32))
+    return (u_out[:B], jnp.swapaxes(p[:B], 0, 1),
+            jnp.swapaxes(s[:B], 0, 1))
+
+
 def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
                                 mask: jax.Array, fmt_att: QFormat,
                                 fmt_bin: QFormat, fmt_act: QFormat,

@@ -23,6 +23,17 @@ estimator **through the whole op**, which is why these are custom_vjp ops
 rather than compositions of STE quantizers (the latter would differentiate
 through the quantized operands instead of the raw ones).
 
+Every backward matmul therefore runs on the MXU at
+``precision=HIGHEST`` (6-pass bf16 == f32-faithful): the forward's bf16
+single-pass exactness argument does NOT extend to the VJPs, because
+cotangents are arbitrary float32 values with full 24-bit significands —
+there is no integer/grid structure to make bf16 rounding the identity —
+and raw float weights/inputs (unquantized in the backward by reference
+semantics) are equally off-grid.  The default (single-pass bf16) MXU
+precision would silently round both operands; HIGHEST is the faithful
+choice, and at these dims the training step is dispatch-bound, not
+FLOP-bound (docs/PROFILE_r3.md), so the 6 passes are free in practice.
+
 Why the products are requantized elementwise rather than on the MXU: the
 per-product truncation is applied *before* the summation, so the reduction
 cannot be expressed as a single matmul.  XLA fuses the

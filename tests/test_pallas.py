@@ -154,3 +154,81 @@ def test_fused_attention_read_op_gradients_match_composition(rng, quantized):
     for a, b, name in zip(got, want, ("dm", "dc", "du")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("tying,linmap,relu", [(2, True, False),
+                                               (2, False, True),
+                                               (1, True, False)])
+def test_fused_hop_chain_matches_unfused_prepared(rng, tying, linmap, relu):
+    """forward_prepared with use_fused_chain (the whole K-hop controller
+    loop as ONE Pallas program, consuming the RAW stacked-embedding matmul
+    output) must be bit-identical to the regular forward — logits,
+    attention probabilities, and raw scores — across tying schemes,
+    lin_map on/off, ReLU on/off, EN_MQ per-hop formats, and partial
+    masks."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data import DataDims
+    from qmann_tpu.models import memn2n
+
+    cfg = QmannConfig(dim_emb=8, num_hops=3, verbose=False,
+                      type_weight_tying=tying,
+                      en_linear_mapping=linmap, en_non_linearity=relu)
+    dims = DataDims(dim_dict=12, max_line=5, max_word=5, dim_word=6,
+                    dim_input=17)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(1))
+    # scale weights so quantized values are non-degenerate at Q5.2
+    params = {k: v * 6.0 for k, v in params.items()}
+    B = 7  # not a multiple of the batch tile: exercises padding
+    mem = rng.integers(0, 3, (B, 5, 17)).astype(np.float32)
+    que = rng.integers(0, 3, (B, 17)).astype(np.float32)
+    n_sen = rng.integers(1, 6, B)
+    mask = np.arange(5)[None, :] < n_sen[:, None]
+    mem = mem * mask[:, :, None]
+
+    out_ref = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                             jnp.asarray(mask), cfg)
+    ccfg = cfg.replace(use_fused_chain=True)
+    prep = memn2n.prepare_inference(
+        params, ccfg, max_count=float(dims.max_word + 1),
+        max_rowsum=float(dims.max_word + 1))
+    assert prep.fast, "prepared fast path must engage for this case"
+    with pltpu.force_tpu_interpret_mode():
+        out_ch = memn2n.forward_prepared(prep, jnp.asarray(mem),
+                                         jnp.asarray(que),
+                                         jnp.asarray(mask), ccfg)
+    np.testing.assert_array_equal(np.asarray(out_ch.logits),
+                                  np.asarray(out_ref.logits))
+    np.testing.assert_array_equal(np.asarray(out_ch.scores),
+                                  np.asarray(out_ref.scores))
+    np.testing.assert_array_equal(np.asarray(out_ch.attention),
+                                  np.asarray(out_ref.attention))
+
+
+def test_fused_chain_guard_falls_back(rng):
+    """Configs outside the chain's envelope (mode 3, score mods, feature
+    heads) must silently keep the unfused prepared path."""
+    import jax
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data import DataDims
+    from qmann_tpu.models import memn2n
+
+    dims = DataDims(dim_dict=12, max_line=5, max_word=5, dim_word=6,
+                    dim_input=17)
+    mem = rng.integers(0, 2, (4, 5, 17)).astype(np.float32)
+    que = rng.integers(0, 2, (4, 17)).astype(np.float32)
+    mask = np.ones((4, 5), bool)
+    for extra in (dict(attention_mode=3), dict(en_att_shift=True),
+                  dict(en_sc_att=True)):
+        cfg = QmannConfig(dim_emb=8, num_hops=2, verbose=False,
+                          use_fused_chain=True, **extra)
+        params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+        prep = memn2n.prepare_inference(params, cfg)
+        out = memn2n.forward_prepared(prep, jnp.asarray(mem),
+                                      jnp.asarray(que), jnp.asarray(mask),
+                                      cfg)  # no interpret ctx: must not
+        ref = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                             jnp.asarray(mask), cfg)  # reach pallas_call
+        np.testing.assert_array_equal(np.asarray(out.logits),
+                                      np.asarray(ref.logits))
