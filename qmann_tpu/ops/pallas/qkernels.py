@@ -314,7 +314,7 @@ def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
                            fmts_w, fmts_att, fmt_bin, fmts_act,
                            linear_mapping: bool = True,
                            non_linearity: bool = False,
-                           batch_tile: int = DEFAULT_CHAIN_TILE,
+                           batch_tile: int = 0,
                            interpret: bool = False):
     """One Pallas program for the whole K-hop chain (mode 2, quantized).
 
@@ -332,7 +332,7 @@ def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
     K = hmats.shape[0]
     D = u.shape[-1]
     assert KD2 == 2 * K * D
-    tb = min(batch_tile, B)
+    tb = min(batch_tile or DEFAULT_CHAIN_TILE, B)
     nb = _cdiv(B, tb)
     pad = nb * tb - B
     if pad:
