@@ -16,9 +16,12 @@ the regime it targets (the VERDICT r2/round-4 "engine regime" item).
 
 RELIABILITY: per-call tunnel latency here is non-stationary (0.07-23 ms
 for an identical call within an hour, docs/PROFILE_r3.md), so absolute
-engine numbers inherit that variance; run prepared and unprepared
-back-to-back (this tool does both by default) and prefer the phase
-breakdown over the headline qps when the tunnel is noisy.
+engine numbers inherit that variance.  The A/B therefore runs
+INTERLEAVED by default: both engines are built up front and the passes
+alternate prepared/unprepared (with the order flipped every pass), so
+latency drift hits both variants equally and the PER-PASS PAIRED RATIO
+is quotable even when the absolute qps is not.  The phase breakdown
+(vectorize vs blocked jit call) remains the drift-free evidence.
 
     python -m qmann_tpu.bench.engine_bench [--batch 200] [--passes 5]
 """
@@ -60,26 +63,8 @@ def _run_pass(eng, samples, producers: int):
     return time.perf_counter() - t0, lat
 
 
-def _measure(prepare: bool, args, cfg, data, samples, params):
-    from qmann_tpu.serve import InferenceEngine
-
-    eng = InferenceEngine(params, cfg, data.dims, data.dictionary,
-                          batch_size=args.batch,
-                          max_wait_ms=args.max_wait_ms,
-                          prepare=prepare).start()
-    try:
-        # warmup pass: compile + tunnel ramp, excluded from the numbers
-        _run_pass(eng, samples[:args.batch], args.producers)
-        eng.stats = type(eng.stats)()  # reset counters
-        walls, lats = [], []
-        for _ in range(args.passes):
-            wall, lat = _run_pass(eng, samples, args.producers)
-            walls.append(wall)
-            lats.extend(lat)
-        st = eng.stats.snapshot()
-    finally:
-        eng.stop()
-    lats.sort()
+def _summarize(prepare: bool, walls, lats, st):
+    lats = sorted(lats)
     n = len(lats)
     total = sum(walls)
     return {
@@ -97,6 +82,72 @@ def _measure(prepare: bool, args, cfg, data, samples, params):
             1e3 * st["infer_s"] / max(st["waves"], 1), 2),
         "failed_waves": st["failed_waves"],
     }
+
+
+def _make_engine(prepare: bool, args, cfg, data, params):
+    from qmann_tpu.serve import InferenceEngine
+
+    return InferenceEngine(params, cfg, data.dims, data.dictionary,
+                           batch_size=args.batch,
+                           max_wait_ms=args.max_wait_ms,
+                           prepare=prepare).start()
+
+
+def _measure(prepare: bool, args, cfg, data, samples, params):
+    eng = _make_engine(prepare, args, cfg, data, params)
+    try:
+        # warmup pass: compile + tunnel ramp, excluded from the numbers
+        _run_pass(eng, samples[:args.batch], args.producers)
+        eng.stats = type(eng.stats)()  # reset counters
+        walls, lats = [], []
+        for _ in range(args.passes):
+            wall, lat = _run_pass(eng, samples, args.producers)
+            walls.append(wall)
+            lats.extend(lat)
+        st = eng.stats.snapshot()
+    finally:
+        eng.stop()
+    return _summarize(prepare, walls, lats, st)
+
+
+def _measure_interleaved(args, cfg, data, samples, params):
+    """Paired A/B: both engines live at once (waves run only inside
+    submit-driven flushes, so they never contend for the chip), passes
+    alternate prepared/unprepared with the order flipped each round.
+    Tunnel latency drift then hits both variants equally and the
+    per-pass paired ratio is quotable even when the absolute qps isn't.
+    """
+    eng = {v: _make_engine(v, args, cfg, data, params)
+           for v in (True, False)}
+    try:
+        for v in (True, False):  # compile + tunnel-ramp warmup, both first
+            _run_pass(eng[v], samples[:args.batch], args.producers)
+            eng[v].stats = type(eng[v].stats)()
+        walls = {True: [], False: []}
+        lats = {True: [], False: []}
+        for k in range(args.passes):
+            order = (True, False) if k % 2 == 0 else (False, True)
+            for v in order:
+                wall, lat = _run_pass(eng[v], samples, args.producers)
+                walls[v].append(wall)
+                lats[v].extend(lat)
+        stats = {v: eng[v].stats.snapshot() for v in eng}
+    finally:
+        for e in eng.values():
+            e.stop()
+    rows = [_summarize(v, walls[v], lats[v], stats[v])
+            for v in (True, False)]
+    ratios = sorted(walls[False][k] / walls[True][k]
+                    for k in range(args.passes))
+    rows.append({
+        "paired_speedup_per_pass": [
+            round(walls[False][k] / walls[True][k], 3)
+            for k in range(args.passes)],
+        "paired_speedup_median": round(ratios[len(ratios) // 2], 3),
+        "prepared_infer_ms_saved_per_wave": round(
+            rows[1]["wave_infer_ms_avg"] - rows[0]["wave_infer_ms_avg"], 2),
+    })
+    return rows
 
 
 def main(argv=None) -> int:
@@ -132,22 +183,12 @@ def main(argv=None) -> int:
                            limit=args.requests)
     params = memn2n.init_params(cfg, data.dims, jax.random.PRNGKey(0))
 
-    variants = [True, False]
-    if args.no_prepare:
-        variants = [False]
-    elif args.prepare_only:
-        variants = [True]
-    rows = [_measure(v, args, cfg, data, samples, params) for v in variants]
+    if args.no_prepare or args.prepare_only:
+        rows = [_measure(args.prepare_only, args, cfg, data, samples, params)]
+    else:
+        rows = _measure_interleaved(args, cfg, data, samples, params)
     for r in rows:
         print(json.dumps(r), flush=True)
-    if len(rows) == 2:
-        print(json.dumps({
-            "prepared_engine_speedup_x": round(
-                rows[0]["sustained_qps"] / rows[1]["sustained_qps"], 3),
-            "prepared_infer_ms_saved_per_wave": round(
-                rows[1]["wave_infer_ms_avg"] - rows[0]["wave_infer_ms_avg"],
-                2),
-        }))
     return 0
 
 
