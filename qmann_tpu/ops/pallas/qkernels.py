@@ -303,10 +303,13 @@ def _fused_chain_kernel(flat_ref, u_ref, h_ref, mask_ref,
     u_out_ref[:] = u
 
 
-# batch tile for the chain kernel: flat block [TB, M, 2K*D] plus the
-# [TB, D, D] lin_map lattice must fit VMEM; 200 keeps both < 3 MB at the
-# reference dims while amortizing grid overhead over few programs
-DEFAULT_CHAIN_TILE = 200
+# batch tile for the chain kernel: the limiter is SCOPED vmem — the K
+# unrolled hops each materialize [TB, D, D] lin_map-lattice temporaries
+# (wq*u products + their requant intermediates), and Mosaic stack-
+# allocates them together.  Measured on v5e (round 4): TB=200 at the
+# reference dims (K=3, D=60, M=10) needs 17.78 MB scoped vmem against
+# the 16 MB/core budget; TB=100 fits with ~45% headroom.
+DEFAULT_CHAIN_TILE = 100
 
 
 def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
