@@ -403,9 +403,12 @@ def forward_prepared(prep: PreparedInference, memory: jax.Array,
                          cfg.fmt_ds_ans, cfg.fmt_ds_ans, quantized=False)
         return ForwardResult(logits, p, s)
 
-    embeds = tuple(
-        float_quant(flat[..., i * D:(i + 1) * D], fmt_w[i % K])
-        for i in range(2 * K))
+    # one fused per-block requant over the stacked matmul output; the
+    # per-hop slices then fuse into the hop chain's consumers
+    from qmann_tpu.numerics import float_quant_blocks
+    flatq = float_quant_blocks(
+        flat, tuple(fmt_w[i % K] for i in range(2 * K)), (D,) * (2 * K))
+    embeds = tuple(flatq[..., i * D:(i + 1) * D] for i in range(2 * K))
 
     return _hop_stack(prep.raw, cfg, u, embeds, mask, False,
                       "pallas" if cfg.use_pallas else "jnp")

@@ -147,6 +147,50 @@ def float_quant(x: jax.Array, fmt: QFormat) -> jax.Array:
     return jnp.where(x > maxf, maxf, jnp.where(x < minf, minf, deq))
 
 
+def float_quant_blocks(x: jax.Array, fmts, widths) -> jax.Array:
+    """float_quant with a per-column-block QFormat on the last axis.
+
+    x: [..., sum(widths)]; columns of block k are quantized in fmts[k].
+    Bit-identical to concatenating per-block float_quant calls, but ONE
+    fused elementwise pass over the whole array instead of len(fmts)
+    slice+requant fusions — the XLA-side analog of the chain kernel's
+    in-register per-hop requant.  Used by qembed_mat_multi's stacked-
+    matmul fast path, where the reference instead runs 2K sequential
+    dense_mat_fwd kernels (MemN2N/MemN2N.c:1372-1532).
+    """
+    assert len(fmts) == len(widths) and x.shape[-1] == sum(widths)
+    if len(set(fmts)) == 1:
+        return float_quant(x, fmts[0])
+    if (len({f.mode for f in fmts}) > 1
+            or any(f.is_binary for f in fmts)):
+        # mixed rounding modes / binary blocks: vectorizing buys nothing
+        # clean here — keep the per-block reference path
+        outs, off = [], 0
+        for fmt, w in zip(fmts, widths):
+            outs.append(float_quant(x[..., off:off + w], fmt))
+            off += w
+        return jnp.concatenate(outs, axis=-1)
+    x = jnp.asarray(x, jnp.float32)
+
+    def cols(vals):
+        return np.repeat(np.asarray(vals, np.float32), widths)
+
+    maxf = cols([fixed_max_float(f.iwl, f.frac) for f in fmts])
+    scale = cols([np.float32(2.0) ** np.int32(f.frac) for f in fmts])
+    inv_scale = cols([np.float32(2.0) ** np.int32(-f.frac) for f in fmts])
+    scaled = x * scale
+    q = _convert(scaled, fmts[0].mode)
+    q = jnp.clip(q, -_INT32_SAT_F32, _INT32_SAT_F32)
+    deq = q * inv_scale
+    full31 = np.array([(f.iwl + f.frac) == 31 for f in fmts])
+    if full31.any():
+        # the INT_MIN magnitude-wrap edge (see float_quant), per column
+        wrap = np.repeat(full31, widths)
+        deq = jnp.where(wrap & (scaled <= -_INT32_SAT_F32),
+                        np.float32(0.0), deq)
+    return jnp.where(x > maxf, maxf, jnp.where(x < -maxf, -maxf, deq))
+
+
 def fixed_mul(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat) -> jax.Array:
     """CUDA_FIXED_MUL (lib/layer_cuda.h:258): quantize each operand in its own
     format, multiply in float, re-quantize the product to *fmt_a* (the format

@@ -53,7 +53,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qmann_tpu.numerics import QFormat, fixed_max_float, float_quant
+from qmann_tpu.numerics import (QFormat, fixed_max_float, float_quant,
+                                float_quant_blocks)
 
 
 def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
@@ -352,10 +353,15 @@ def _qembed_mat_multi_impl(s, weights, fmts, quantized, backend,
         stacked = jnp.concatenate([jnp.swapaxes(wq, 0, 1) for wq in wqs],
                                   axis=1)                    # [I, sum D_k]
         out = _mxu_matmul(s, stacked, all(_exact_bf16(f) for f in fmts))
+        # one fused per-block requant over the whole stacked output (the
+        # per-hop formats differ only under EN_MQ); the downstream slices
+        # then fuse into their consumers instead of materializing 2K
+        # slice+requant fusions
+        widths = tuple(wq.shape[0] for wq in wqs)
+        outq = float_quant_blocks(out, fmts, widths)
         outs, off = [], 0
-        for wq, fmt in zip(wqs, fmts):
-            d = wq.shape[0]
-            outs.append(float_quant(out[..., off:off + d], fmt))
+        for d in widths:
+            outs.append(outq[..., off:off + d])
             off += d
         return tuple(outs)
 

@@ -188,3 +188,48 @@ def test_gray_known_values():
     # standard gray code over low bits: 2 -> 3, 3 -> 2
     assert int(bin2gray(jnp.int32(2), 0, 3)) == 3
     assert int(bin2gray(jnp.int32(3), 0, 3)) == 2
+
+
+def test_float_quant_blocks_matches_per_block():
+    """The fused per-column-block requant is bit-identical to
+    concatenated per-block float_quant calls, across mixed formats,
+    saturation boundaries, and the iwl+frac==31 INT_MIN wrap edge."""
+    from qmann_tpu.numerics import float_quant, float_quant_blocks
+
+    rng = np.random.default_rng(7)
+    fmts = (QFormat(5, 2), QFormat(1, 6), QFormat(0, 7), QFormat(0, 31))
+    widths = (3, 5, 4, 2)
+    # random values spanning well past every block's saturation bound,
+    # plus exact boundary magnitudes planted in each block
+    x = rng.uniform(-40.0, 40.0, size=(17, sum(widths))).astype(np.float32)
+    off = 0
+    for fmt, w in zip(fmts, widths):
+        maxf = float(fixed_max_float(fmt.iwl, fmt.frac))
+        x[0, off] = maxf
+        x[1, off] = -maxf
+        x[2, off] = maxf + 1.0
+        x[3, off] = -maxf - 1.0
+        off += w
+    # the 31-frac block's wrap edge: scaled == -2^31 exactly
+    x[4, -1] = -np.float32(2.0) ** np.int32(-31) * np.float32(2.0 ** 31)
+
+    got = np.asarray(float_quant_blocks(jnp.asarray(x), fmts, widths))
+    off = 0
+    for fmt, w in zip(fmts, widths):
+        want = np.asarray(float_quant(jnp.asarray(x[:, off:off + w]), fmt))
+        np.testing.assert_array_equal(got[:, off:off + w], want)
+        off += w
+
+    # uniform-format reduction and the mixed-mode / binary fallbacks
+    same = (QFormat(5, 2),) * 3
+    xs = jnp.asarray(x[:, :9])
+    np.testing.assert_array_equal(
+        np.asarray(float_quant_blocks(xs, same, (3, 3, 3))),
+        np.asarray(float_quant(xs, QFormat(5, 2))))
+    mixed = (QFormat(5, 2, mode=1), QFormat(1, 6), QFormat(0, 0))
+    got2 = np.asarray(float_quant_blocks(xs, mixed, (3, 3, 3)))
+    off = 0
+    for fmt, w in zip(mixed, (3, 3, 3)):
+        want = np.asarray(float_quant(xs[:, off:off + w], fmt))
+        np.testing.assert_array_equal(got2[:, off:off + w], want)
+        off += w
