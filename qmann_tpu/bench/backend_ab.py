@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--variants", default="unfused,chain")
     p.add_argument("--chain-tile", type=int, default=0,
                    help="override the chain kernel's batch tile")
+    p.add_argument("--synthetic", default="",
+                   help="V,M,W,D: skip bAbI — random BoW stories with "
+                        "dict size V, M memory rows, W words/row, "
+                        "dim_emb D (the Pallas crossover-table dims)")
     args = p.parse_args(argv)
 
     from qmann_tpu.cli import _enable_compilation_cache
@@ -48,16 +52,43 @@ def main(argv=None) -> int:
         qkernels.DEFAULT_CHAIN_TILE = args.chain_tile
 
     base = QmannConfig(verbose=False)
-    data = load_task_native("qa1_single-supporting-fact", base.data_path,
-                            raw_path=base.raw_data_path)
-    dims = data.dims
+    if args.synthetic:
+        # crossover-table dims: random BoW stories shaped like a scaled-up
+        # task (the reference dims are V=19/M=10/W=6/D=60 on qa1)
+        from qmann_tpu.data.babi import DataDims
+
+        V, M, W, D = (int(t) for t in args.synthetic.split(","))
+        dims = DataDims(V, M, W, W + 1, V + M)
+        base = base.replace(dim_emb=D)
+        rng = np.random.default_rng(0)
+        B = args.batch
+        mem = np.zeros((B, M, V + M), np.float32)
+        b_ix = np.arange(B)[:, None, None]
+        m_ix = np.arange(M)[None, :, None]
+        np.add.at(mem, (b_ix, m_ix, rng.integers(0, V, (B, M, W))), 1.0)
+        mem[:, np.arange(M), V + np.arange(M)] = 1.0  # temporal one-hots
+        que = np.zeros((B, V + M), np.float32)
+        np.add.at(que, (np.arange(B)[:, None],
+                        rng.integers(0, V, (B, W))), 1.0)
+        ans = np.zeros((B, V + M), np.float32)
+        ans[np.arange(B), rng.integers(0, V, B)] = 1.0
+        memory, question, answer = (jnp.asarray(a) for a in (mem, que, ans))
+        mask = jnp.ones((B, M), jnp.float32)
+        batch = B
+        max_count, max_rowsum = float(mem.max()), float(
+            np.abs(mem).sum(-1).max())
+    else:
+        data = load_task_native("qa1_single-supporting-fact", base.data_path,
+                                raw_path=base.raw_data_path)
+        dims = data.dims
+        test = data.test
+        batch = min(args.batch, len(test))
+        memory = jnp.asarray(test.memory[:batch])
+        question = jnp.asarray(test.question[:batch])
+        answer = jnp.asarray(test.answer[:batch])
+        mask = jnp.asarray(test.mask[:batch])
+        max_count = max_rowsum = float(dims.max_word + 1)
     params = memn2n.init_params(base, dims, jax.random.PRNGKey(0))
-    test = data.test
-    batch = min(args.batch, len(test))
-    memory = jnp.asarray(test.memory[:batch])
-    question = jnp.asarray(test.question[:batch])
-    answer = jnp.asarray(test.answer[:batch])
-    mask = jnp.asarray(test.mask[:batch])
     k = args.scan_k
 
     cfgs = {
@@ -68,8 +99,7 @@ def main(argv=None) -> int:
 
     def build(cfg):
         prepared = memn2n.prepare_inference(
-            params, cfg, max_count=float(dims.max_word + 1),
-            max_rowsum=float(dims.max_word + 1))
+            params, cfg, max_count=max_count, max_rowsum=max_rowsum)
         assert prepared.fast
 
         @jax.jit

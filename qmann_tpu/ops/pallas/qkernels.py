@@ -308,8 +308,16 @@ def _fused_chain_kernel(flat_ref, u_ref, h_ref, mask_ref,
 # (wq*u products + their requant intermediates), and Mosaic stack-
 # allocates them together.  Measured on v5e (round 4): TB=200 at the
 # reference dims (K=3, D=60, M=10) needs 17.78 MB scoped vmem against
-# the 16 MB/core budget; TB=100 fits with ~45% headroom.
-DEFAULT_CHAIN_TILE = 100
+# the 16 MB/core budget — i.e. ~4*TB*(M*2K*D + ~5.2*D^2) bytes.
+# DEFAULT_CHAIN_TILE = 0 auto-sizes the tile from that model against a
+# conservative 12 MB budget (TB=112 at the reference dims).
+DEFAULT_CHAIN_TILE = 0
+_CHAIN_VMEM_BUDGET = 12e6
+
+
+def _auto_chain_tile(m: int, kd2: int, d: int) -> int:
+    per_row = 4.0 * (m * kd2 + 6.0 * d * d)
+    return max(8, int(_CHAIN_VMEM_BUDGET / per_row) // 8 * 8)
 
 
 def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
@@ -335,7 +343,8 @@ def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
     K = hmats.shape[0]
     D = u.shape[-1]
     assert KD2 == 2 * K * D
-    tb = min(batch_tile or DEFAULT_CHAIN_TILE, B)
+    tb = min(batch_tile or DEFAULT_CHAIN_TILE
+             or _auto_chain_tile(M, KD2, D), B)
     nb = _cdiv(B, tb)
     pad = nb * tb - B
     if pad:
