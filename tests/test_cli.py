@@ -119,3 +119,16 @@ def test_megasweep_smoke_emits_json_and_outputs(tmp_path):
     assert (tmp_path / "meta.json").exists()
     assert (tmp_path / "iwl5" / "result.csv").exists()
     assert (tmp_path / "iwl5" / "result_all.csv").exists()
+
+
+def test_backend_ab_synthetic_smoke():
+    """The crossover-table path: random BoW data at caller-chosen dims,
+    unfused backend, still produces the qps rows + winner line."""
+    r = run_cli(["qmann_tpu.bench.backend_ab", "--variants", "unfused",
+                 "--repeats", "2", "--scan-k", "2", "--batch", "32",
+                 "--synthetic", "50,12,5,32"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines()
+            if l.startswith("{")]
+    assert rows and rows[0]["variant"] == "unfused"
+    assert rows[0]["outputs_identical"] and rows[0]["qps_median"] > 0
