@@ -232,3 +232,20 @@ def test_fused_chain_guard_falls_back(rng):
                              jnp.asarray(mask), cfg)  # reach pallas_call
         np.testing.assert_array_equal(np.asarray(out.logits),
                                       np.asarray(ref.logits))
+
+
+def test_auto_chain_tile_fits_vmem_model():
+    """The auto tile honors the measured scoped-vmem model: at the
+    reference dims it must stay below the TB=200 point that measured
+    17.78MB > 16MB on v5e, and it never collapses below the 8-row
+    minimum at large dims."""
+    from qmann_tpu.ops.pallas.qkernels import _auto_chain_tile
+
+    ref = _auto_chain_tile(10, 360, 60)           # qa1 flagship dims
+    assert 8 <= ref < 200 and ref % 8 == 0
+    # measured model: ~4*TB*(M*2KD + 5.2*D^2) bytes; the chosen tile must
+    # keep the conservative 6*D^2 estimate under the 12MB budget
+    assert 4.0 * ref * (10 * 360 + 6.0 * 60 * 60) <= 12e6
+    big = _auto_chain_tile(100, 2 * 3 * 512, 512)  # D=512 serving config
+    assert big >= 8 and big % 8 == 0
+    assert 4.0 * big * (100 * 3072 + 6.0 * 512 * 512) <= 12e6 or big == 8
