@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--eval-chunk", type=int, default=128)
+    p.add_argument("--keep-fast-path", action="store_true",
+                   help="A/B: keep the runtime integer-fast-path conds "
+                        "that the vmapped trainer disables by default")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--max-test-samples", type=int, default=None)
     p.add_argument("--pad-dict", type=int, default=64)
@@ -110,7 +113,10 @@ def main(argv=None) -> int:
                 pad_dict=args.pad_dict, pad_line=args.pad_line)
         t0 = time.time()
         res = train_tasks_multi(cfg, tasks, seeds,
-                                eval_chunk=args.eval_chunk)
+                                eval_chunk=args.eval_chunk,
+                                integer_fast_path=(True if
+                                                   args.keep_fast_path
+                                                   else None))
         wall = time.time() - t0
         meta["stages"].append({"iwl": iwl, "wallclock": wall,
                                "runs": len(res.err_test),

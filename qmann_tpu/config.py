@@ -110,6 +110,13 @@ class QmannConfig:
 
     # --- TPU execution ---
     use_pallas: bool = False   # route hot-op forwards through Pallas kernels
+    # runtime integer-exactness fast paths (lax.cond MXU routes) in the
+    # training/regular forward.  Bit-identical either way (the fast
+    # branch equals the lattice exactly whenever its predicate holds —
+    # tests/test_ops.py); the vmapped multi trainer disables them
+    # because vmap turns the cond into select-BOTH-branches, making the
+    # fast branch pure overhead there (docs/PROFILE_r4.md)
+    en_integer_fast_path: bool = True
     # serving/bench only: run the whole K-hop chain as ONE Pallas program
     # inside forward_prepared (mode 2, quantized, no feature heads);
     # bit-identical to the unfused chain (tests/test_pallas.py)

@@ -129,7 +129,7 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     # question/memory rows are integer bag-of-words counts unless EN_PE
     # replaces the question counts with position-encoding weights
     # (sample.c:546-547)
-    q_integer = not cfg.en_pe
+    q_integer = not cfg.en_pe and cfg.en_integer_fast_path
 
     # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
     # MemN2N/MemN2N.c:823)
@@ -145,7 +145,8 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
         memory,
         tuple(w[0] for w in hop_w) + tuple(w[1] for w in hop_w),
         tuple(fmt_w[h] for h in range(K)) * 2,
-        quantized=q, backend=backend, integer_inputs=True)
+        quantized=q, backend=backend,
+        integer_inputs=cfg.en_integer_fast_path)
 
     return _hop_stack(params, cfg, u, embeds, mask, remove_softmax, backend)
 

@@ -220,12 +220,22 @@ class MultiTrainResult:
 
 def train_tasks_multi(cfg: QmannConfig, tasks: Dict[int, TaskData],
                       seeds: Sequence[int], eval_chunk: int = 128,
-                      log=print) -> MultiTrainResult:
+                      log=print,
+                      integer_fast_path: Optional[bool] = None
+                      ) -> MultiTrainResult:
     """Train every (task, seed) pair as one vmapped family.
 
     tasks: {task_index: TaskData} — all tasks must share feature shapes
     (load with pad_dict/pad_line, the sweep's --uniform-shapes layout).
     """
+    # vmap over runs turns the runtime integer-fast-path lax.conds into
+    # select-BOTH-branches (batched predicates), so the MXU fast branch
+    # is pure extra work in this trainer; disable it by default —
+    # bit-identical (the fast branch equals the lattice whenever its
+    # predicate holds).  integer_fast_path=True restores it (A/B tool).
+    if integer_fast_path is None:
+        integer_fast_path = False
+    cfg = cfg.replace(en_integer_fast_path=integer_fast_path)
     t_indices = sorted(tasks)
     datas = [tasks[t] for t in t_indices]
     dims = datas[0].dims
