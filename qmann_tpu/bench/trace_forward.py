@@ -91,6 +91,9 @@ def main(argv=None) -> int:
                    help="profile the training epoch instead of inference")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--no-fast-path", action="store_true",
+                   help="disable the runtime integer-fast-path conds "
+                        "(A/B for their data-movement cost, PROFILE_r4)")
     args = p.parse_args(argv)
 
     from qmann_tpu.cli import _enable_compilation_cache
@@ -103,7 +106,8 @@ def main(argv=None) -> int:
     from qmann_tpu.ops import cross_entropy
     from qmann_tpu.utils.profiling import trace
 
-    cfg = QmannConfig(verbose=False)
+    cfg = QmannConfig(verbose=False,
+                      en_integer_fast_path=not args.no_fast_path)
     data = load_task_native("qa1_single-supporting-fact", cfg.data_path,
                             raw_path=cfg.raw_data_path)
     params = memn2n.init_params(cfg, data.dims, jax.random.PRNGKey(0))
