@@ -56,8 +56,10 @@ def main(argv=None) -> int:
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--eval-chunk", type=int, default=128)
     p.add_argument("--keep-fast-path", action="store_true",
-                   help="A/B: keep the runtime integer-fast-path conds "
-                        "that the vmapped trainer disables by default")
+                   help="(now the default) keep the integer fast paths")
+    p.add_argument("--no-fast-path", action="store_true",
+                   help="A/B: disable the integer fast paths (measured "
+                        "4x slower at family scale — docs/PROFILE_r4.md)")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--max-test-samples", type=int, default=None)
     p.add_argument("--pad-dict", type=int, default=64)
@@ -114,8 +116,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         res = train_tasks_multi(cfg, tasks, seeds,
                                 eval_chunk=args.eval_chunk,
-                                integer_fast_path=(True if
-                                                   args.keep_fast_path
+                                integer_fast_path=(False if
+                                                   args.no_fast_path
                                                    else None))
         wall = time.time() - t0
         meta["stages"].append({"iwl": iwl, "wallclock": wall,

@@ -66,7 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=0.0,
                    help="L2 coefficient lambda (define.h:238)")
     p.add_argument("--linear-start", action="store_true")
-    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--shuffle", action="store_true",
+                   help="EN_SAMPLE_SHUFFLED: one-time global sample permutation\n"
+                        "(randomizing the train/valid split, MemN2N.c:1046-1052)\n"
+                        "+ per-epoch train reshuffle; the reference's joint\n"
+                        "config block turns this on (define.h:177-191)")
+    p.add_argument("--max-sen-len", type=int, default=50,
+                   help="MAX_SEN_LEN (define.h:154; the joint block uses 64)")
+    p.add_argument("--max-dict-len", type=int, default=64,
+                   help="MAX_DICT_LEN (define.h:153; joint block 192) — only\n"
+                        "binding with --dim-forced")
+    p.add_argument("--dim-forced", action="store_true",
+                   help="DIM_FORCED: force dims to max_dict_len/max_sen_len")
     p.add_argument("--save-best-model", action="store_true")
     p.add_argument("--joint", action="store_true",
                    help="EN_JOINT: train once on qa_joint, test per task")
@@ -129,6 +140,9 @@ def config_from_args(args) -> QmannConfig:
         lambda_=args.weight_decay,
         en_linear_start=args.linear_start,
         en_sample_shuffled=args.shuffle,
+        max_sen_len=args.max_sen_len,
+        max_dict_len=args.max_dict_len,
+        dim_forced=args.dim_forced,
         en_save_best_model=args.save_best_model,
         en_joint=args.joint,
         en_pe=args.pe,
@@ -215,7 +229,9 @@ def main(argv=None) -> int:
                 limit_train=args.max_samples,
                 limit_test=args.max_test_samples,
                 use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
-                en_pe=cfg.en_pe, train_task_name="qa_joint")
+                en_pe=cfg.en_pe, train_task_name="qa_joint",
+                dim_forced=cfg.dim_forced, max_dict_len=cfg.max_dict_len,
+                shuffle_split=cfg.en_sample_shuffled, split_seed=cfg.seed)
         print(f"    Joint training: {len(data.train)} samples, "
               f"dict {data.dims.dim_dict}")
         joint_runs = []
@@ -260,6 +276,9 @@ def main(argv=None) -> int:
                     limit_test=args.max_test_samples,
                     use_raw=cfg.use_raw_babi, enable_time=cfg.en_time,
                     en_pe=cfg.en_pe,
+                    dim_forced=cfg.dim_forced, max_dict_len=cfg.max_dict_len,
+                    shuffle_split=cfg.en_sample_shuffled,
+                    split_seed=cfg.seed,
                 )
             print(f"    Dim input : {data.dims.dim_input}")
             print(f"    Dim emb   : {cfg.dim_emb}")

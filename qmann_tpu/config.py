@@ -110,12 +110,15 @@ class QmannConfig:
 
     # --- TPU execution ---
     use_pallas: bool = False   # route hot-op forwards through Pallas kernels
-    # runtime integer-exactness fast paths (lax.cond MXU routes) in the
-    # training/regular forward.  Bit-identical either way (the fast
-    # branch equals the lattice exactly whenever its predicate holds —
-    # tests/test_ops.py); the vmapped multi trainer disables them
-    # because vmap turns the cond into select-BOTH-branches, making the
-    # fast branch pure overhead there (docs/PROFILE_r4.md)
+    # integer-exactness fast paths: the STATIC integer-input stacked-MXU
+    # embedding route plus the runtime lax.cond MXU routes.  Bit-identical
+    # either way (the fast branch equals the lattice exactly whenever its
+    # predicate holds — tests/test_ops.py).  Measured defaults differ by
+    # regime (docs/PROFILE_r4.md): the serial gradient step compiles the
+    # conds out (trainer.train_epoch — their branch copies cost more than
+    # the small per-batch matmuls save), while the vmapped family trainer
+    # and all inference paths keep them (the static MXU route is a 4x at
+    # family scale and 2.56x in the scan bench)
     en_integer_fast_path: bool = True
     # serving/bench only: run the whole K-hop chain as ONE Pallas program
     # inside forward_prepared (mode 2, quantized, no feature heads);

@@ -353,12 +353,24 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
               dim_forced: bool = False, max_dict_len: int = 64,
               pad_dict: int = 0, pad_line: int = 0,
               en_pe: bool = False,
-              train_task_name: Optional[str] = None) -> TaskData:
+              train_task_name: Optional[str] = None,
+              shuffle_split: bool = False,
+              split_seed: int = 0) -> TaskData:
     """Load one bAbI task end to end.
 
     The validation split is the LAST rate_valid fraction of the train file
     in file order (MemN2N/MemN2N.c:636-637, :1866-1869 — shuffle is off by
-    default, EN_SAMPLE_SHUFFLED=false define.h:172).
+    default, EN_SAMPLE_SHUFFLED=false define.h:172).  With
+    shuffle_split=True the reference's EN_SAMPLE_SHUFFLED semantics apply:
+    ALL train-file samples are permuted ONCE up front and the valid split
+    is the TAIL of that permutation (MemN2N.c:1046-1052 builds the global
+    ind_sample_shuffled; :1868 takes valid indices from its tail) — i.e. a
+    random 10%, not the last 10% in file order.  This matters for
+    EN_JOINT, whose qa_joint train file is the task-ordered concatenation
+    of tasks 1-20 (dataset/.../qa_joint_gen.scr): without the shuffle the
+    entire validation set comes from qa19/qa20, which is why the
+    reference's joint config block sets EN_SAMPLE_SHUFFLED true
+    (define.h:177-191).
 
     train_task_name: for joint mode (EN_JOINT) training reads qa_joint
     while testing reads the per-task file (MemN2N.c:520-533).
@@ -377,6 +389,13 @@ def load_task(task_name: str, data_path: str, *, use_raw: bool = False,
                         max_sen_len=max_sen_len, pad_dict=pad_dict,
                         pad_line=pad_line)
 
+    if shuffle_split:
+        # permute AFTER Dictionary.build/compute_dims: the reference
+        # builds the dictionary in file order and only then shuffles
+        # sample indices (MemN2N.c: sample_init precedes rand_perm)
+        perm = np.random.default_rng(split_seed).permutation(
+            len(train_samples))
+        train_samples = [train_samples[i] for i in perm]
     n_valid = int(len(train_samples) * rate_valid)
     n_train = len(train_samples) - n_valid
     tr = vectorize(train_samples[:n_train], dictionary, dims, enable_time,

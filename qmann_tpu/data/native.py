@@ -80,8 +80,16 @@ def load_task_native(task_name: str, data_path: str, *,
                      limit_test: Optional[int] = None,
                      pad_dict: int = 0, pad_line: int = 0,
                      train_task_name: Optional[str] = None,
+                     shuffle_split: bool = False, split_seed: int = 0,
+                     dim_forced: bool = False, max_dict_len: int = 64,
                      **py_kwargs) -> TaskData:
     lib = _load_lib()
+    if dim_forced:
+        # DIM_FORCED (define.h:151): the native lib expresses forced dims
+        # through its pad knobs — pad-to-at-least equals force-to when the
+        # data fits the forced sizes (the reference asserts the same).
+        pad_dict = max(pad_dict, max_dict_len)
+        pad_line = max(pad_line, max_sen_len)
     # features only the Python vectorizer implements (noise augmentation,
     # position encoding) force the fallback rather than being dropped
     needs_python = (py_kwargs.get("rand_noise_time", 0.0) != 0.0
@@ -92,7 +100,10 @@ def load_task_native(task_name: str, data_path: str, *,
                          max_sen_len=max_sen_len, rate_valid=rate_valid,
                          limit_train=limit_train, limit_test=limit_test,
                          pad_dict=pad_dict, pad_line=pad_line,
-                         train_task_name=train_task_name, **py_kwargs)
+                         train_task_name=train_task_name,
+                         shuffle_split=shuffle_split, split_seed=split_seed,
+                         dim_forced=dim_forced, max_dict_len=max_dict_len,
+                         **py_kwargs)
     tt = train_task_name or task_name
     try:
         train_file, train_raw = _resolve_files(task_name, data_path, raw_path,
@@ -106,7 +117,10 @@ def load_task_native(task_name: str, data_path: str, *,
                          max_sen_len=max_sen_len, rate_valid=rate_valid,
                          limit_train=limit_train, limit_test=limit_test,
                          pad_dict=pad_dict, pad_line=pad_line,
-                         train_task_name=train_task_name, **py_kwargs)
+                         train_task_name=train_task_name,
+                         shuffle_split=shuffle_split, split_seed=split_seed,
+                         dim_forced=dim_forced, max_dict_len=max_dict_len,
+                         **py_kwargs)
     h = lib.qm_load(train_file.encode(), int(train_raw), test_file.encode(),
                     int(test_raw), max_sen_len, int(enable_time),
                     -1 if limit_train is None else limit_train,
@@ -140,6 +154,16 @@ def load_task_native(task_name: str, data_path: str, *,
         lib.qm_free(h)
 
     n_all = len(full_train)
+    if shuffle_split:
+        # EN_SAMPLE_SHUFFLED split semantics (MemN2N.c:1046-1052, :1868):
+        # one global permutation up front, valid = its tail.  Permuting
+        # the vectorized rows here is equivalent to the Python loader's
+        # permutation of raw samples (vectorization is per-sample).
+        perm = np.random.default_rng(split_seed).permutation(n_all)
+        full_train = VectorizedSplit(
+            full_train.memory[perm], full_train.question[perm],
+            full_train.answer[perm], full_train.n_sen[perm],
+            full_train.answer_index[perm])
     n_valid = int(n_all * rate_valid)
     n_train = n_all - n_valid
 

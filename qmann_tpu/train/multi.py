@@ -228,13 +228,20 @@ def train_tasks_multi(cfg: QmannConfig, tasks: Dict[int, TaskData],
     tasks: {task_index: TaskData} — all tasks must share feature shapes
     (load with pad_dict/pad_line, the sweep's --uniform-shapes layout).
     """
-    # vmap over runs turns the runtime integer-fast-path lax.conds into
-    # select-BOTH-branches (batched predicates), so the MXU fast branch
-    # is pure extra work in this trainer; disable it by default —
-    # bit-identical (the fast branch equals the lattice whenever its
-    # predicate holds).  integer_fast_path=True restores it (A/B tool).
+    # MEASURED (runs/msab_{off,on}, docs/PROFILE_r4.md): the fast paths
+    # stay ON here.  The select-both-branches argument (vmap batches the
+    # cond predicates) predicted they'd be pure overhead, but the knob
+    # also gates the STATIC integer-input stacked-MXU embedding route
+    # (models/memn2n.py integer_inputs=...), and at family scale that
+    # route dominates: 20 runs x 50 epochs trained in 104 s with the
+    # fast paths vs 417 s without (both passes reproduce).  The serial
+    # trainer measures the OPPOSITE (its per-step matmuls are too small
+    # to pay for the cond copies — trainer.train_epoch compiles them
+    # out).  Bit-identical either way (the fast branch equals the
+    # lattice whenever its predicate holds; test_multi run-for-run
+    # equality).  integer_fast_path=False is the A/B tool.
     if integer_fast_path is None:
-        integer_fast_path = False
+        integer_fast_path = True
     cfg = cfg.replace(en_integer_fast_path=integer_fast_path)
     t_indices = sorted(tasks)
     datas = [tasks[t] for t in t_indices]

@@ -76,7 +76,18 @@ def _batched_arrays(split: VectorizedSplit, batch_size: int):
 @functools.partial(jax.jit, static_argnames=("cfg", "remove_softmax"))
 def train_epoch(params: Params, batches, lr, cfg: QmannConfig,
                 remove_softmax: bool = False):
-    """Scan the SGD step over every batch of the epoch on-device."""
+    """Scan the SGD step over every batch of the epoch on-device.
+
+    The runtime integer-fast-path `lax.cond`s are compiled out of the
+    gradient step: inside the epoch while-loop their branch-operand
+    async copies cost 57% of the device epoch (60.1 -> 23.3 ms/epoch
+    measured without them, runs/trace_r4_train_fp_{on,off}.log), while
+    the MXU fast branch almost never fires on training-shaped inputs.
+    Bit-identical either way by the fast path's exactness contract
+    (tests/test_ops.py; tests/test_model.py::test_train_fast_path_off_
+    is_bit_identical).  Evaluation (`evaluate`) keeps the configured
+    value — inference is where the fast routes pay (BENCH.md)."""
+    cfg = cfg.replace(en_integer_fast_path=False)
 
     def step(params, batch):
         def loss_fn(p):

@@ -169,3 +169,40 @@ def test_joint_task_loads_real_joint_data():
     assert len(td.test) == 40
     # joint vocabulary exceeds any single task's
     assert td.dims.dim_dict > 30  # several tasks worth of vocabulary
+
+
+def test_shuffle_split_randomizes_validation():
+    """EN_SAMPLE_SHUFFLED split semantics (MemN2N.c:1046-1052, :1868):
+    one global permutation up front, valid = its tail — a random 10%,
+    not the last 10% in file order.  Crucial for EN_JOINT: qa_joint's
+    train file is the task-ordered concat of tasks 1-20, so without the
+    shuffle the whole validation set is qa19/qa20 answers (which is why
+    the reference's joint block sets EN_SAMPLE_SHUFFLED true,
+    define.h:177-191)."""
+    plain = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                      limit_train=2000, limit_test=40,
+                      train_task_name="qa_joint")
+    shuf = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                     limit_train=2000, limit_test=40,
+                     train_task_name="qa_joint", shuffle_split=True,
+                     split_seed=0)
+    # same multiset of samples overall, different split composition
+    assert len(shuf.train) == len(plain.train)
+    assert len(shuf.valid) == len(plain.valid)
+    assert not np.array_equal(shuf.valid.question, plain.valid.question)
+    # deterministic in the seed
+    again = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                      limit_train=2000, limit_test=40,
+                      train_task_name="qa_joint", shuffle_split=True,
+                      split_seed=0)
+    np.testing.assert_array_equal(shuf.valid.question, again.valid.question)
+    np.testing.assert_array_equal(shuf.train.question, again.train.question)
+    other = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                      limit_train=2000, limit_test=40,
+                      train_task_name="qa_joint", shuffle_split=True,
+                      split_seed=1)
+    assert not np.array_equal(shuf.valid.question, other.valid.question)
+    # the shuffled valid split mixes answer distributions (file-order valid
+    # is a contiguous single-task block at 2000 samples)
+    assert len(np.unique(shuf.valid.answer_index)) >= \
+        len(np.unique(plain.valid.answer_index))

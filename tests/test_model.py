@@ -179,3 +179,32 @@ def test_qa1_convergence_smoke_quantized():
     res = train_task(cfg, data)
     assert res.history[-1].err_train < 0.85
     assert res.history[-1].err_train < res.history[0].err_train
+
+
+def test_train_fast_path_off_is_bit_identical(rng):
+    """The gradient step is bit-identical with and without the runtime
+    integer-fast-path conds (the fast branch equals the lattice exactly
+    whenever its predicate holds — tests/test_ops.py), so train_epoch
+    compiling them out (a 60.1 -> 23.3 ms/epoch device-time win,
+    runs/trace_r4_train_fp_{on,off}.log) cannot change training."""
+    cfg_on = tiny_cfg(en_integer_fast_path=True)
+    cfg_off = cfg_on.replace(en_integer_fast_path=False)
+    dims = fake_dims()
+    params = memn2n.init_params(cfg_on, dims, jax.random.PRNGKey(0))
+    mem, que, ans, mask = fake_batch(rng)
+    smask = jnp.ones(mem.shape[0], jnp.float32)
+
+    def grads(cfg):
+        def loss_fn(p):
+            loss, met = memn2n.loss_and_metrics(p, mem, que, ans, mask,
+                                                smask, cfg, False)
+            return loss, met
+        g, met = jax.grad(loss_fn, has_aux=True)(params)
+        return g, met
+
+    g_on, met_on = grads(cfg_on)
+    g_off, met_off = grads(cfg_off)
+    np.testing.assert_array_equal(np.asarray(met_on.cost),
+                                  np.asarray(met_off.cost))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), g_on, g_off)

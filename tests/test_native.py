@@ -43,3 +43,21 @@ def test_native_full_task_shapes():
     nat = load_task_native("qa1_single-supporting-fact", PARSED, raw_path=RAW)
     assert len(nat.train) == 9000 and len(nat.valid) == 1000
     assert len(nat.test) == 1000
+
+
+@needs_native
+def test_native_shuffle_split_matches_python():
+    """shuffle_split permutes vectorized rows natively, raw samples in
+    Python — identical arrays either way (vectorization is per-sample)."""
+    py = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                   limit_train=500, limit_test=100, shuffle_split=True,
+                   split_seed=3)
+    nat = load_task_native("qa1_single-supporting-fact", PARSED, raw_path=RAW,
+                           limit_train=500, limit_test=100,
+                           shuffle_split=True, split_seed=3)
+    for split in ("train", "valid", "test"):
+        a, b = getattr(py, split), getattr(nat, split)
+        np.testing.assert_array_equal(a.memory, b.memory, err_msg=split)
+        np.testing.assert_array_equal(a.question, b.question)
+        np.testing.assert_array_equal(a.answer, b.answer)
+        np.testing.assert_array_equal(a.answer_index, b.answer_index)
