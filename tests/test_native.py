@@ -61,3 +61,24 @@ def test_native_shuffle_split_matches_python():
         np.testing.assert_array_equal(a.question, b.question)
         np.testing.assert_array_equal(a.answer, b.answer)
         np.testing.assert_array_equal(a.answer_index, b.answer_index)
+
+
+@needs_native
+def test_native_dim_forced_matches_python():
+    """DIM_FORCED (define.h:151): the native path expresses forced dims
+    through its pad knobs; arrays and dims must match the Python
+    compute_dims(dim_forced=True) layout."""
+    kw = dict(limit_train=300, limit_test=50, dim_forced=True,
+              max_dict_len=96, max_sen_len=50)
+    py = load_task("qa1_single-supporting-fact", PARSED, raw_path=RAW, **kw)
+    nat = load_task_native("qa1_single-supporting-fact", PARSED,
+                           raw_path=RAW, **kw)
+    assert py.dims.dim_dict == 96 and py.dims.dim_input == 96 + 50
+    assert nat.dims.dim_dict == py.dims.dim_dict
+    assert nat.dims.dim_input == py.dims.dim_input
+    assert nat.dims.max_line == py.dims.max_line
+    for split in ("train", "valid", "test"):
+        a, b = getattr(py, split), getattr(nat, split)
+        np.testing.assert_array_equal(a.memory, b.memory, err_msg=split)
+        np.testing.assert_array_equal(a.question, b.question)
+        np.testing.assert_array_equal(a.answer, b.answer)
