@@ -73,6 +73,33 @@ def _batched_arrays(split: VectorizedSplit, batch_size: int):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("batch_size",))
+def _pack_shuffled(memory, question, answer, mask, perm, batch_size: int):
+    """Device-side epoch shuffle: gather the once-uploaded sample arrays
+    by a [N] permutation and reshape into [nb, B, ...] batches on-chip.
+
+    The host-side alternative (fancy-index numpy + re-upload) moves the
+    whole epoch through the tunnel every epoch — ~1.3 GB/epoch for
+    EN_JOINT's 18000x64x256 memory tensor; here only the [N] int32
+    permutation crosses.  Values are identical to _batched_arrays on the
+    permuted split (tests/test_model.py::test_device_shuffle_pack_
+    matches_host).  sample_mask/size_b are permutation-invariant and are
+    reused from the initial packing."""
+    n = memory.shape[0]
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+
+    def pack(x):
+        x = jnp.take(x, perm, axis=0)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x.reshape((nb, batch_size) + x.shape[1:])
+
+    return {"memory": pack(memory), "question": pack(question),
+            "answer": pack(answer), "mask": pack(mask)}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "remove_softmax"))
 def train_epoch(params: Params, batches, lr, cfg: QmannConfig,
                 remove_softmax: bool = False):
@@ -170,6 +197,14 @@ def train_task(cfg: QmannConfig, data: TaskData,
     n_train = len(data.train)
     batches_np = _batched_arrays(data.train, cfg.size_batch)
     batches = {k: jnp.asarray(v) for k, v in batches_np.items()}
+    train_dev = None
+    if cfg.en_sample_shuffled and mesh is None:
+        # once-per-task upload of the unbatched sample arrays; per-epoch
+        # shuffles gather them on-device (_pack_shuffled)
+        train_dev = (jnp.asarray(data.train.memory),
+                     jnp.asarray(data.train.question),
+                     jnp.asarray(data.train.answer),
+                     jnp.asarray(data.train.mask))
     if mesh is not None:
         from qmann_tpu.parallel.sharding import shard_params
         params = shard_params(mesh, params)
@@ -192,14 +227,20 @@ def train_task(cfg: QmannConfig, data: TaskData,
     for itr, lr, remove_softmax in lr_schedule(cfg):
         if cfg.en_sample_shuffled:
             perm = rng.permutation(n_train)
-            shuffled = VectorizedSplit(
-                data.train.memory[perm], data.train.question[perm],
-                data.train.answer[perm], data.train.n_sen[perm],
-                data.train.answer_index[perm])
-            batches = {k: jnp.asarray(v) for k, v in
-                       _batched_arrays(shuffled, cfg.size_batch).items()}
-            if mesh is not None:
-                batches = _shard_epoch_batches(mesh, batches)
+            if train_dev is not None:
+                batches = {**batches,
+                           **_pack_shuffled(*train_dev,
+                                            jnp.asarray(perm),
+                                            cfg.size_batch)}
+            else:
+                shuffled = VectorizedSplit(
+                    data.train.memory[perm], data.train.question[perm],
+                    data.train.answer[perm], data.train.n_sen[perm],
+                    data.train.answer_index[perm])
+                batches = {k: jnp.asarray(v) for k, v in
+                           _batched_arrays(shuffled, cfg.size_batch).items()}
+                if mesh is not None:
+                    batches = _shard_epoch_batches(mesh, batches)
         params, cost_train, match_train = train_epoch(
             params, batches, jnp.float32(lr), cfg, remove_softmax)
         err_train = 1.0 - int(match_train) / max(n_train, 1)

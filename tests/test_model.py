@@ -208,3 +208,30 @@ def test_train_fast_path_off_is_bit_identical(rng):
                                   np.asarray(met_off.cost))
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), g_on, g_off)
+
+
+def test_device_shuffle_pack_matches_host():
+    """_pack_shuffled (device-side epoch shuffle, [N]-perm upload only)
+    produces exactly the batches _batched_arrays builds from the
+    host-permuted split."""
+    from qmann_tpu.data.babi import VectorizedSplit
+    from qmann_tpu.train.trainer import _batched_arrays, _pack_shuffled
+    r = np.random.default_rng(0)
+    n, m, d = 11, 4, 9
+    split = VectorizedSplit(
+        r.random((n, m, d)).astype(np.float32),
+        r.random((n, d)).astype(np.float32),
+        r.random((n, d)).astype(np.float32),
+        r.integers(1, m + 1, n).astype(np.int32),
+        r.integers(0, d, n).astype(np.int32))
+    perm = r.permutation(n)
+    host = _batched_arrays(VectorizedSplit(
+        split.memory[perm], split.question[perm], split.answer[perm],
+        split.n_sen[perm], split.answer_index[perm]), 4)
+    dev = _pack_shuffled(jnp.asarray(split.memory),
+                         jnp.asarray(split.question),
+                         jnp.asarray(split.answer),
+                         jnp.asarray(split.mask),
+                         jnp.asarray(perm), 4)
+    for k in ("memory", "question", "answer", "mask"):
+        np.testing.assert_array_equal(host[k], np.asarray(dev[k]), err_msg=k)
