@@ -146,18 +146,35 @@ def evaluate(params: Params, memory, question, answer, mask,
 
 def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
                chunk: int = 1024) -> Tuple[float, float, np.ndarray]:
-    """Returns (cost, error_rate, predictions)."""
+    """Returns (cost, error_rate, predictions).
+
+    Every chunk is zero-padded to the static `chunk` size so a whole run
+    compiles ONE evaluate shape (XLA compiles per shape; the remainder
+    chunk and each differently-sized split used to trigger fresh
+    multi-minute remote compiles through the tunnel).  Zero-padded
+    samples contribute exactly nothing: cost = -sum(y*probs) and the
+    match test hit==1.0 are both null on an all-zero one-hot answer, and
+    fully-masked samples are NaN-free by the same mechanism the padded
+    training batches rely on (tests/test_model.py)."""
     n = len(split)
     costs, matches, preds = 0.0, 0, []
+
+    def padded(x):
+        pad = chunk - x.shape[0]
+        if pad <= 0:
+            return jnp.asarray(x)
+        return jnp.asarray(np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)]))
+
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        c, m, p = evaluate(params, jnp.asarray(split.memory[s:e]),
-                           jnp.asarray(split.question[s:e]),
-                           jnp.asarray(split.answer[s:e]),
-                           jnp.asarray(split.mask[s:e]), cfg)
+        c, m, p = evaluate(params, padded(split.memory[s:e]),
+                           padded(split.question[s:e]),
+                           padded(split.answer[s:e]),
+                           padded(split.mask[s:e]), cfg)
         costs += float(c)
         matches += int(m)
-        preds.append(np.asarray(p))
+        preds.append(np.asarray(p)[:e - s])
     err = 1.0 - matches / max(n, 1)
     return costs, err, np.concatenate(preds) if preds else np.zeros(0, np.int32)
 

@@ -235,3 +235,25 @@ def test_device_shuffle_pack_matches_host():
                          jnp.asarray(perm), 4)
     for k in ("memory", "question", "answer", "mask"):
         np.testing.assert_array_equal(host[k], np.asarray(dev[k]), err_msg=k)
+
+
+def test_eval_split_chunk_padding_is_exact(rng):
+    """eval_split pads every chunk to the static chunk size (one compiled
+    evaluate shape per run); cost/err/preds must equal the unpadded
+    computation."""
+    from qmann_tpu.data.babi import VectorizedSplit
+    from qmann_tpu.train.trainer import eval_split
+    cfg = tiny_cfg()
+    dims = fake_dims()
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(1))
+    mem, que, ans, mask = fake_batch(rng, n=23)
+    n_sen = np.asarray(mask).sum(axis=1).astype(np.int32)
+    aidx = np.argmax(np.asarray(ans), axis=1).astype(np.int32)
+    split = VectorizedSplit(np.asarray(mem), np.asarray(que),
+                            np.asarray(ans), n_sen, aidx)
+    # exact-fit chunks vs padded chunks (23 -> chunks of 10: 10/10/3+7pad)
+    c_exact, e_exact, p_exact = eval_split(params, split, cfg, chunk=23)
+    c_pad, e_pad, p_pad = eval_split(params, split, cfg, chunk=10)
+    assert e_exact == e_pad
+    np.testing.assert_allclose(c_exact, c_pad, rtol=1e-6)
+    np.testing.assert_array_equal(p_exact, p_pad)
