@@ -12,6 +12,6 @@ cd /root/repo
 echo "=== EN_JOINT, reference joint block knobs, 1 loop x 60 epochs (fits the session; best-model dynamics settle early, cf. the INT4/binary 50-epoch protocol) ==="
 timeout 4500 python -m qmann_tpu 1 1 20 5 --epochs 60 --joint --shuffle \
     --max-sen-len 64 --dim-forced --max-dict-len 192 --save-best-model \
-    --out-dir runs/joint_iwl5_shuf > runs/joint_iwl5_shuf.log 2>&1
+    --checkpoint-dir runs/joint_iwl5_shuf/ckpt --out-dir runs/joint_iwl5_shuf > runs/joint_iwl5_shuf.log 2>&1
 
 echo "=== round4 campaign part 6 done ==="
