@@ -132,3 +132,20 @@ def test_backend_ab_synthetic_smoke():
             if l.startswith("{")]
     assert rows and rows[0]["variant"] == "unfused"
     assert rows[0]["outputs_identical"] and rows[0]["qps_median"] > 0
+
+
+@needs_data
+@pytest.mark.slow
+def test_cli_joint_block_knobs(tmp_path):
+    """The reference joint config block (define.h:177-191):
+    EN_SAMPLE_SHUFFLED + DIM_FORCED 96/50 run end-to-end and force the
+    input layout."""
+    r = run_cli(["qmann_tpu", "1", "1", "2", "5", "--joint", "--shuffle",
+                 "--dim-forced", "--max-dict-len", "96",
+                 "--max-sen-len", "50",
+                 "--epochs", "1", "--max-samples", "240",
+                 "--max-test-samples", "30", "--out-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dict 96" in r.stdout
+    for t in (1, 2):
+        assert f"task {t} (" in r.stdout
