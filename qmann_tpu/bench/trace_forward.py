@@ -118,7 +118,11 @@ def main(argv=None) -> int:
                    _batched_arrays(data.train, cfg.size_batch).items()}
 
         def run():
-            out = train_epoch(params, batches, jnp.float32(0.3), cfg, False)
+            # fast_path="config" lets --no-fast-path actually flip the
+            # compiled program (train_epoch's measured default would
+            # otherwise force the conds out in BOTH A/B arms)
+            out = train_epoch(params, batches, jnp.float32(0.3), cfg, False,
+                              fast_path="config")
             jax.block_until_ready(out)
             return out
     else:

@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in saturation mitigation: shift raw attention "
                         "score sums by the row max before requant "
                         "(NOT a reference knob; see BENCH.md)")
+    p.add_argument("--hamming-weight-para", type=int, default=0,
+                   help="HAMMING_WEIGHT_PARA (define.h:24-28): bit-weight "
+                        "exponent offset of the mode-3 similarity, "
+                        "w = 2^(-i-para); shipped 0, commented variant -1")
+    p.add_argument("--hamming-unweighted", action="store_true",
+                   help="mode-3 unweighted similarity: plain matching-bit "
+                        "count (f_weighted=false, lib/layer_cuda.cu:297-304)")
     p.add_argument("--att-clip", action="store_true",
                    help="opt-in saturation mitigation: clip raw attention "
                         "score sums at maxf - step (STE)")
@@ -68,9 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--linear-start", action="store_true")
     p.add_argument("--shuffle", action="store_true",
                    help="EN_SAMPLE_SHUFFLED: one-time global sample permutation\n"
-                        "(randomizing the train/valid split, MemN2N.c:1046-1052)\n"
-                        "+ per-epoch train reshuffle; the reference's joint\n"
-                        "config block turns this on (define.h:177-191)")
+                        "(randomizing the train/valid split, MemN2N.c:1046-1052);\n"
+                        "the reference's joint config block turns this on\n"
+                        "(define.h:177-191).  Two deliberate deviations: (1) we\n"
+                        "also reshuffle the TRAIN ORDER each epoch (upstream's\n"
+                        "per-epoch rand_perm is dead code — MemN2N.c:1115-1117\n"
+                        "immediately overwrites it with the fixed global\n"
+                        "permutation, so its order is constant); (2) all\n"
+                        "--num-task-loop repeats share ONE split (seeded by\n"
+                        "--seed) where upstream draws a fresh permutation per\n"
+                        "run — keeps loops comparable on identical data")
     p.add_argument("--max-sen-len", type=int, default=50,
                    help="MAX_SEN_LEN (define.h:154; the joint block uses 64)")
     p.add_argument("--max-dict-len", type=int, default=64,
@@ -134,6 +148,8 @@ def config_from_args(args) -> QmannConfig:
         en_sc_att=args.sc_att,
         en_att_shift=args.att_shift,
         en_att_clip=args.att_clip,
+        hamming_weight_para=args.hamming_weight_para,
+        hamming_weighted=not args.hamming_unweighted,
         en_non_linearity=args.non_linearity,
         en_grad_quant=args.grad_quant,
         quant_mode=args.quant_mode,

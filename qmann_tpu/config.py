@@ -49,6 +49,8 @@ class QmannConfig:
     bw_wl: int = 8                   # :21  total word length
     iwl: int = 5                     # argv[4]; frac = bw_wl - 1 - iwl
     num_bit_attention: Optional[int] = None  # :24 default BW_WL (via 1+iwl+frac)
+    hamming_weight_para: int = 0     # :26-28 bit-weight exponent offset
+    hamming_weighted: bool = True    # f_weighted similarity variant
     quant_mode: int = ROUND_TOWARD_ZERO      # :35-47 EN_QUANT_MODE undef -> trunc
     en_fixed_point: bool = True      # :31
     en_mq: bool = True               # :79  per-hop mixed precision

@@ -200,6 +200,20 @@ def compute_dims(train_samples: Sequence[Sample], dictionary: Dictionary,
     indices stay below the actual dictionary size and the padded columns
     are always zero."""
     if dim_forced:
+        # the 'data fits the forced dims' assumption is load-bearing
+        # (out-of-range word indices would vectorize past dim_dict); the
+        # reference asserts the same via its fixed-size arrays — fail
+        # loudly instead of diverging (ADVICE r4)
+        if len(dictionary) > max_dict_len:
+            raise ValueError(
+                f"dim_forced: dictionary size {len(dictionary)} exceeds "
+                f"max_dict_len {max_dict_len}")
+        actual_line = max((len(s.sentences) for s in train_samples),
+                          default=0)
+        if actual_line > max_sen_len:
+            raise ValueError(
+                f"dim_forced: max sentences/story {actual_line} exceeds "
+                f"max_sen_len {max_sen_len}")
         dim_dict = max_dict_len
         max_word = max_line_len
         max_line = max_sen_len

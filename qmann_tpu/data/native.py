@@ -134,6 +134,16 @@ def load_task_native(task_name: str, data_path: str, *,
                         max_word=lib.qm_max_word(h),
                         dim_word=lib.qm_dim_word(h),
                         dim_input=lib.qm_dim_input(h))
+        if dim_forced and (dims.dim_dict != max_dict_len
+                           or dims.max_line != max_sen_len):
+            # pad-to-at-least only equals force-to while the data fits;
+            # past that the native and Python loaders would silently
+            # diverge (the Python loader hard-forces and would vectorize
+            # out-of-range indices) — fail loudly instead (ADVICE r4)
+            raise ValueError(
+                f"dim_forced: data exceeds forced dims "
+                f"(dict {dims.dim_dict} vs {max_dict_len}, "
+                f"lines {dims.max_line} vs {max_sen_len})")
         dictionary = Dictionary()
         for i in range(1, lib.qm_dict_size(h)):
             dictionary.add(lib.qm_dict_word(h, i).decode())

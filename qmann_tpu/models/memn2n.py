@@ -210,7 +210,9 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             m_sc, u_sc, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
             num_bit=cfg.num_bits_attention,
             const_scale=cfg.attention_const_scale,
-            backend=backend, score_mod=cfg.att_score_mod)     # [B, M]
+            backend=backend, score_mod=cfg.att_score_mod,
+            hamming_weight_para=cfg.hamming_weight_para,
+            hamming_weighted=cfg.hamming_weighted)            # [B, M]
         if cfg.en_sc_att and not remove_softmax:
             scores = scale_apply(params["scale"][h], scores)
         if cfg.test_maxout:

@@ -77,14 +77,20 @@ def _bit(word: jax.Array, i: int) -> jax.Array:
     return (word >> (31 - i)) & 1
 
 
-def _weighted_similarity(wa: jax.Array, wb: jax.Array, num_bit: int) -> jax.Array:
+def _weighted_similarity(wa: jax.Array, wb: jax.Array, num_bit: int,
+                         weight_para: int = 0) -> jax.Array:
     """_cuda_hamming_similarity weighted variant (lib/layer_cuda.cu:261-296):
-    sum of 2^-i over matching bits i in [1, num_bit); negated if the sign
-    bits of the (preprocessed) words differ."""
+    sum of 2^(-i-weight_para) over matching bits i in [1, num_bit);
+    negated if the sign bits of the (preprocessed) words differ.
+
+    weight_para is HAMMING_WEIGHT_PARA (MemN2N/define.h:24-28, "w =
+    2^(k+1-(n+hamming_weight_para))"; shipped value 0 with a commented -1
+    variant).  The shipped kernel hardcodes the para=0 weighting 2^-i
+    (lib/layer_cuda.cu:283-285 with the para form commented at :282)."""
     sim = jnp.zeros(jnp.broadcast_shapes(wa.shape, wb.shape), jnp.float32)
     for i in range(1, num_bit):
         match = (_bit(wa, i) == _bit(wb, i)).astype(jnp.float32)
-        sim = sim + match * np.float32(2.0 ** (-i))
+        sim = sim + match * np.float32(2.0 ** (-i - weight_para))
     sign_differs = (wa & INT32_SIGN_BIT) != (wb & INT32_SIGN_BIT)
     return jnp.where(sign_differs, -sim, sim)
 
@@ -116,43 +122,59 @@ def gray_hamming_score(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
     return jnp.sum(sim, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def hamming_score(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
                   const_scale: int = DEFAULT_CONST_SCALE,
-                  round_mode: int = 3, backend: str = "jnp") -> jax.Array:
+                  round_mode: int = 3, backend: str = "jnp",
+                  weight_para: int = 0, weighted: bool = True) -> jax.Array:
     """Approximate (Hamming-similarity) attention score.
 
     m: [..., M, D] memory embeddings; u: [..., D] query -> [..., M].
     num_bit: number of compared bits = 1 + iwl + frac of the layer's
     nominal format (lib/layer.c:230, passed as (1+iwl_m+frac_m)).
     backend="pallas" runs the VMEM-tiled kernel forward (bit-identical).
+    weight_para: HAMMING_WEIGHT_PARA bit-weight exponent offset
+    (define.h:24-28); weighted=False selects the unweighted plain
+    bit-match count (_cuda_hamming_similarity f_weighted=false branch,
+    lib/layer_cuda.cu:297-304).
+
+    The surrogate backward is the reference's LIVE kernel either way —
+    its para-dependent scalings exist only as commented experiments
+    (lib/layer_cuda.cu:906-983), so weight_para/weighted alter the
+    forward scores only.
     """
     return _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
-                             backend)
+                             backend, weight_para, weighted)
 
 
 def _hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
-                      backend="jnp"):
+                      backend="jnp", weight_para=0, weighted=True):
     if backend == "pallas" and m.ndim == 3 and u.ndim == 2:
         from qmann_tpu.ops.pallas.qkernels import hamming_score_pallas
         return hamming_score_pallas(m, u, iwl, num_bit, const_scale,
-                                    round_mode)
+                                    round_mode, weight_para=weight_para,
+                                    weighted=weighted)
     fmt_full = QFormat(iwl, 31 - iwl, round_mode)
     wm = _encode_words(m, iwl, round_mode)             # [..., M, D]
     wu = _encode_words(u, iwl, round_mode)[..., None, :]  # [..., 1, D]
     pm, pu = _common_mode_preprocess(wm, wu)
-    sim = _weighted_similarity(pm, pu, num_bit)        # [..., M, D]
+    if weighted:
+        sim = _weighted_similarity(pm, pu, num_bit, weight_para)  # [...,M,D]
+    else:
+        sim = unweighted_similarity(pm, pu, num_bit)
     term = sim * np.float32(2.0 ** const_scale)        # :514
     term = float_quant(term, fmt_full)                 # :520
     return float_quant(jnp.sum(term, axis=-1), fmt_full)  # :524-532
 
 
-def _hamming_fwd(m, u, iwl, num_bit, const_scale, round_mode, backend):
+def _hamming_fwd(m, u, iwl, num_bit, const_scale, round_mode, backend,
+                 weight_para, weighted):
     return (_hamming_fwd_impl(m, u, iwl, num_bit, const_scale, round_mode,
-                              backend), (m, u))
+                              backend, weight_para, weighted), (m, u))
 
 
-def _hamming_bwd(iwl, num_bit, const_scale, round_mode, backend, res, g):
+def _hamming_bwd(iwl, num_bit, const_scale, round_mode, backend,
+                 weight_para, weighted, res, g):
     """Surrogate gradients, reproduced from the reference kernels.
 
     Both kernels re-encode and re-preprocess the inputs exactly as the
@@ -226,7 +248,9 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
                     num_bit: int | None = None,
                     const_scale: int = DEFAULT_CONST_SCALE,
                     backend: str = "jnp",
-                    score_mod: str = "none") -> jax.Array:
+                    score_mod: str = "none",
+                    hamming_weight_para: int = 0,
+                    hamming_weighted: bool = True) -> jax.Array:
     """Dispatch over the four attention modes (lib/layer.c:167-251).
 
     score_mod (qlinear.qscore): opt-in saturation mitigation, applied to
@@ -243,7 +267,8 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
     if attention_mode == 3:
         nb = num_bit if num_bit is not None else 1 + fmt_att.iwl + fmt_att.frac
         return hamming_score(m, u, fmt_att.iwl, nb, const_scale,
-                             fmt_att.mode, backend)
+                             fmt_att.mode, backend, hamming_weight_para,
+                             hamming_weighted)
     if attention_mode == 4:
         return binary_score(m, u)
     raise ValueError(f"unknown attention mode {attention_mode}")

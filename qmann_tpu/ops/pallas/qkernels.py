@@ -139,7 +139,8 @@ def qmatvec_pallas(w: jax.Array, x: jax.Array, fmt_w: QFormat,
 # ---------------------------------------------------------------------------
 
 def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
-                    const_scale: int, round_mode: int):
+                    const_scale: int, round_mode: int, weight_para: int,
+                    weighted: bool):
     fmt_full = QFormat(iwl, 31 - iwl, round_mode)
     wm = _encode_words(m_ref[:], iwl, round_mode)           # [TB, M, D] int32
     wu = _encode_words(u_ref[:], iwl, round_mode)[:, None, :]
@@ -147,9 +148,11 @@ def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
     sim = jnp.zeros(pm.shape, jnp.float32)
     for i in range(1, num_bit):
         match = (_bit(pm, i) == _bit(pu, i)).astype(jnp.float32)
-        sim = sim + match * np.float32(2.0 ** (-i))
-    sign_differs = (pm & INT32_SIGN_BIT) != (pu & INT32_SIGN_BIT)
-    sim = jnp.where(sign_differs, -sim, sim)
+        sim = sim + match * np.float32(2.0 ** (-i - weight_para)
+                                       if weighted else 1.0)
+    if weighted:
+        sign_differs = (pm & INT32_SIGN_BIT) != (pu & INT32_SIGN_BIT)
+        sim = jnp.where(sign_differs, -sim, sim)
     term = float_quant(sim * np.float32(2.0 ** const_scale), fmt_full)
     out_ref[:] = float_quant(jnp.sum(term, axis=-1), fmt_full)
 
@@ -157,7 +160,8 @@ def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
 def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
                          const_scale: int = -3, round_mode: int = 3,
                          batch_tile: int = DEFAULT_BATCH_TILE,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False, weight_para: int = 0,
+                         weighted: bool = True) -> jax.Array:
     """Pallas forward of ops.attention.hamming_score.
     m: [B, M, D], u: [B, D] -> [B, M]."""
     B, M, D = m.shape
@@ -169,7 +173,8 @@ def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
         u = jnp.concatenate([u, jnp.zeros((pad, D), u.dtype)])
     out = pl.pallas_call(
         functools.partial(_hamming_kernel, iwl=iwl, num_bit=num_bit,
-                          const_scale=const_scale, round_mode=round_mode),
+                          const_scale=const_scale, round_mode=round_mode,
+                          weight_para=weight_para, weighted=weighted),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),

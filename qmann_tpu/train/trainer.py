@@ -100,21 +100,30 @@ def _pack_shuffled(memory, question, answer, mask, perm, batch_size: int):
             "answer": pack(answer), "mask": pack(mask)}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "remove_softmax"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "remove_softmax", "fast_path"))
 def train_epoch(params: Params, batches, lr, cfg: QmannConfig,
-                remove_softmax: bool = False):
+                remove_softmax: bool = False, fast_path: str = "force_off"):
     """Scan the SGD step over every batch of the epoch on-device.
 
-    The runtime integer-fast-path `lax.cond`s are compiled out of the
-    gradient step: inside the epoch while-loop their branch-operand
-    async copies cost 57% of the device epoch (60.1 -> 23.3 ms/epoch
-    measured without them, runs/trace_r4_train_fp_{on,off}.log), while
-    the MXU fast branch almost never fires on training-shaped inputs.
-    Bit-identical either way by the fast path's exactness contract
-    (tests/test_ops.py; tests/test_model.py::test_train_fast_path_off_
-    is_bit_identical).  Evaluation (`evaluate`) keeps the configured
-    value — inference is where the fast routes pay (BENCH.md)."""
-    cfg = cfg.replace(en_integer_fast_path=False)
+    fast_path="force_off" (default): the runtime integer-fast-path
+    `lax.cond`s are compiled out of the gradient step — inside the epoch
+    while-loop their branch-operand async copies cost 57% of the device
+    epoch (60.1 -> 23.3 ms/epoch measured without them,
+    runs/trace_r4_train_fp_{on,off}.log), while the MXU fast branch
+    almost never fires on training-shaped inputs.  Bit-identical either
+    way by the fast path's exactness contract (tests/test_ops.py;
+    tests/test_model.py::test_train_fast_path_off_is_bit_identical).
+    Evaluation (`evaluate`) keeps the configured value — inference is
+    where the fast routes pay (BENCH.md).
+
+    fast_path="config": respect cfg.en_integer_fast_path as given — the
+    hook that keeps the documented A/B measurable
+    (bench.trace_forward --train [--no-fast-path])."""
+    if fast_path == "force_off":
+        cfg = cfg.replace(en_integer_fast_path=False)
+    elif fast_path != "config":
+        raise ValueError(f"unknown fast_path {fast_path!r}")
 
     def step(params, batch):
         def loss_fn(p):

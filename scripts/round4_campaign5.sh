@@ -24,13 +24,19 @@ timeout 1800 python -m qmann_tpu.bench.trace_forward --train --no-fast-path \
 MS="python -m qmann_tpu.bench.megasweep --save-best-model \
     --tasks 1-5 --seeds 0-3 --iwl 5 --epochs 50"
 
+# NOTE: after the round-4 default flip the family trainer keeps the fast
+# paths unless --no-fast-path is passed (--keep-fast-path is a no-op), so
+# the off arm must say --no-fast-path explicitly.  The committed
+# runs/msab_off was produced under the pre-flip semantics (off by
+# default); this script now reproduces the same comparison post-flip.
 echo "=== stage b: megasweep A/B pass 1 (compile) ==="
-timeout 3600 $MS --out-dir runs/msab_off_warm > runs/msab_off_warm.log 2>&1
+timeout 3600 $MS --no-fast-path \
+    --out-dir runs/msab_off_warm > runs/msab_off_warm.log 2>&1
 timeout 3600 $MS --keep-fast-path \
     --out-dir runs/msab_on_warm > runs/msab_on_warm.log 2>&1
 
 echo "=== stage b2: megasweep A/B pass 2 (quoted) ==="
-timeout 3600 $MS --out-dir runs/msab_off > runs/msab_off.log 2>&1
+timeout 3600 $MS --no-fast-path --out-dir runs/msab_off > runs/msab_off.log 2>&1
 timeout 3600 $MS --keep-fast-path \
     --out-dir runs/msab_on > runs/msab_on.log 2>&1
 

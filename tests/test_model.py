@@ -57,6 +57,23 @@ def test_forward_shapes_all_attention_modes(rng, mode):
     assert (attn[:, ~m_np] == 0).all()
 
 
+def test_hamming_weight_para_reaches_forward(rng):
+    """The HAMMING_WEIGHT_PARA config knob must change mode-3 scores
+    (dispatch wiring, not just the op-level parameter)."""
+    dims = fake_dims()
+    mem, que, ans, mask = fake_batch(rng)
+    base = tiny_cfg(attention_mode=3, iwl=1)
+    params = memn2n.init_params(base, dims, jax.random.PRNGKey(0))
+    s0 = np.asarray(memn2n.forward(params, mem, que, mask, base).scores)
+    s1 = np.asarray(memn2n.forward(
+        params, mem, que, mask,
+        base.replace(hamming_weight_para=-1)).scores)
+    s2 = np.asarray(memn2n.forward(
+        params, mem, que, mask, base.replace(hamming_weighted=False)).scores)
+    assert not np.array_equal(s0, s1)
+    assert not np.array_equal(s0, s2)
+
+
 def test_forward_adjacent_tying_shapes(rng):
     cfg = tiny_cfg(type_weight_tying=1)
     dims = fake_dims()

@@ -157,18 +157,22 @@ def oracle_preprocess(wa_sign, wa_mag, wb_sign, wb_mag):
     return wa & 0xFFFFFFFF, wb & 0xFFFFFFFF
 
 
-def oracle_hamming_sim(wa, wb, num_bit):
-    """lib/layer_cuda.cu:261-296 weighted similarity on 32-bit words."""
+def oracle_hamming_sim(wa, wb, num_bit, weight_para=0, weighted=True):
+    """lib/layer_cuda.cu:261-304 similarity on 32-bit words: the weighted
+    branch with the HAMMING_WEIGHT_PARA exponent offset (define.h:24-28,
+    the commented powf(2,-i-para) form at :282) and the unweighted
+    f_weighted=false branch (plain matching-bit count, no sign flip)."""
     sim = 0.0
     for i in range(1, num_bit):
         if (wa & (0x80000000 >> i)) == (wb & (0x80000000 >> i)):
-            sim += 2.0 ** (-i)
-    if (wa & 0x80000000) != (wb & 0x80000000):
+            sim += 2.0 ** (-i - weight_para) if weighted else 1.0
+    if weighted and (wa & 0x80000000) != (wb & 0x80000000):
         sim = -sim
     return np.float32(sim)
 
 
-def oracle_hamming_score(m, u, iwl, num_bit, const_scale=-3):
+def oracle_hamming_score(m, u, iwl, num_bit, const_scale=-3, weight_para=0,
+                         weighted=True):
     M, D = m.shape
     frac = 31 - iwl
     out = np.zeros(M, np.float32)
@@ -178,7 +182,7 @@ def oracle_hamming_score(m, u, iwl, num_bit, const_scale=-3):
             sa, ma = oracle_encode(m[i, j], iwl, frac)
             sb, mb = oracle_encode(u[j], iwl, frac)
             wa, wb = oracle_preprocess(sa, ma, sb, mb)
-            sim = oracle_hamming_sim(wa, wb, num_bit)
+            sim = oracle_hamming_sim(wa, wb, num_bit, weight_para, weighted)
             term = np.float32(sim * np.float32(2.0 ** const_scale))
             s += oracle_quant(term, iwl, frac)
         out[i] = oracle_quant(s, iwl, frac)
@@ -196,6 +200,42 @@ def test_hamming_score_matches_oracle(rng, iwl):
         jnp.asarray(rng.normal(0, 2.0, (5,)).astype(np.float32)), act_fmt))
     got = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl, num_bit))
     want = oracle_hamming_score(m, u, iwl, num_bit)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("weight_para", [0, -1])
+def test_hamming_weight_para_matches_oracle(rng, weight_para):
+    """HAMMING_WEIGHT_PARA knob (define.h:24-28) at the shipped value and
+    the commented -1 variant, against the C-semantics oracle."""
+    iwl, num_bit = 2, 8
+    act_fmt = QFormat(iwl, 7 - iwl)
+    m = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (6, 5)).astype(np.float32)), act_fmt))
+    u = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (5,)).astype(np.float32)), act_fmt))
+    got = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl,
+                                   num_bit, -3, 3, "jnp", weight_para))
+    want = oracle_hamming_score(m, u, iwl, num_bit,
+                                weight_para=weight_para)
+    np.testing.assert_array_equal(got, want)
+    if weight_para != 0:
+        # the knob must actually change the scores vs the shipped default
+        base = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl,
+                                        num_bit))
+        assert not np.array_equal(got, base)
+
+
+def test_hamming_unweighted_matches_oracle(rng):
+    """f_weighted=false similarity branch (lib/layer_cuda.cu:297-304)."""
+    iwl, num_bit = 2, 8
+    act_fmt = QFormat(iwl, 7 - iwl)
+    m = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (6, 5)).astype(np.float32)), act_fmt))
+    u = np.asarray(float_quant(
+        jnp.asarray(rng.normal(0, 2.0, (5,)).astype(np.float32)), act_fmt))
+    got = np.asarray(hamming_score(jnp.asarray(m), jnp.asarray(u), iwl,
+                                   num_bit, -3, 3, "jnp", 0, False))
+    want = oracle_hamming_score(m, u, iwl, num_bit, weighted=False)
     np.testing.assert_array_equal(got, want)
 
 

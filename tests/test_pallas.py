@@ -32,6 +32,19 @@ def test_hamming_pallas_matches_jnp(rng, iwl):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("weight_para,weighted", [(-1, True), (0, False)])
+def test_hamming_pallas_variants_match_jnp(rng, weight_para, weighted):
+    """HAMMING_WEIGHT_PARA / unweighted variants agree across backends."""
+    iwl = 2
+    act = QFormat(iwl, 7 - iwl)
+    m = float_quant(jnp.asarray(rng.normal(0, 2, (9, 6, 5)).astype(np.float32)), act)
+    u = float_quant(jnp.asarray(rng.normal(0, 2, (9, 5)).astype(np.float32)), act)
+    got = hamming_score_pallas(m, u, iwl, 8, interpret=True,
+                               weight_para=weight_para, weighted=weighted)
+    want = hamming_score(m, u, iwl, 8, -3, 3, "jnp", weight_para, weighted)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("quantized", [True, False])
 def test_fused_attention_read_matches_composition(rng, quantized):
     fmt = QFormat(5, 2)
