@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     p.add_argument("--scan-k", type=int, default=30)
     p.add_argument("--batch", type=int, default=1000)
     p.add_argument("--variants", default="unfused,chain")
+    p.add_argument("--attention-mode", type=int, default=2,
+                   choices=[1, 2, 3],
+                   help="attention mode under test; 3 = Hamming (the "
+                        "paper's core op — variants unfused/hamming/"
+                        "read/chain give XLA lattice vs Pallas score-only "
+                        "vs per-hop fused read vs whole-chain)")
     p.add_argument("--chain-tile", type=int, default=0,
                    help="override the chain kernel's batch tile")
     p.add_argument("--synthetic", default="",
@@ -51,7 +57,7 @@ def main(argv=None) -> int:
         from qmann_tpu.ops.pallas import qkernels
         qkernels.DEFAULT_CHAIN_TILE = args.chain_tile
 
-    base = QmannConfig(verbose=False)
+    base = QmannConfig(verbose=False, attention_mode=args.attention_mode)
     if args.synthetic:
         # crossover-table dims: random BoW stories shaped like a scaled-up
         # task (the reference dims are V=19/M=10/W=6/D=60 on qa1)
@@ -95,6 +101,8 @@ def main(argv=None) -> int:
         "unfused": base,
         "chain": base.replace(use_fused_chain=True),
         "read": base.replace(use_pallas=True),
+        # mode-3 only: Pallas for JUST the Hamming bit-lattice score
+        "hamming": base.replace(use_pallas_hamming=True),
     }
 
     def build(cfg):

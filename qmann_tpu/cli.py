@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RAND_NOISE_TIME temporal-noise augmentation rate")
     p.add_argument("--use-pallas", action="store_true",
                    help="route hot-op forwards through the Pallas kernels")
+    p.add_argument("--use-pallas-hamming", action="store_true",
+                   help="mode 3 only: run just the Hamming score as the "
+                        "Pallas kernel (per-op A/B vs the XLA lattice)")
     p.add_argument("--use-fused-chain", action="store_true",
                    help="serving/eval forward: run the whole K-hop chain "
                         "as one Pallas program per batch tile")
@@ -166,6 +169,7 @@ def config_from_args(args) -> QmannConfig:
         use_raw_babi=args.use_raw,
         rand_noise_time=args.rand_noise_time,
         use_pallas=args.use_pallas,
+        use_pallas_hamming=args.use_pallas_hamming,
         use_fused_chain=args.use_fused_chain,
         data_path=args.data_path,
         raw_data_path=args.raw_data_path,

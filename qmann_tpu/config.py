@@ -112,6 +112,12 @@ class QmannConfig:
 
     # --- TPU execution ---
     use_pallas: bool = False   # route hot-op forwards through Pallas kernels
+    # mode-3 only: run JUST the Hamming score as the VMEM-tiled Pallas
+    # kernel while everything else stays on the XLA path — the clean
+    # per-op Pallas-vs-XLA A/B for the paper's core op (the mode-2
+    # demotion verdict of docs/PROFILE_r4.md never covered the int32
+    # bit-lattice workload)
+    use_pallas_hamming: bool = False
     # integer-exactness fast paths: the STATIC integer-input stacked-MXU
     # embedding route plus the runtime lax.cond MXU routes.  Bit-identical
     # either way (the fast branch equals the lattice exactly whenever its

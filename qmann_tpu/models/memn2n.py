@@ -162,15 +162,23 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     mask_f = mask.astype(jnp.float32)
     K = cfg.num_hops
 
-    # the Pallas fused read covers the plain mode-1/2 hop chain; feature
+    # the Pallas fused read covers the plain mode-1/2/3 hop chain; feature
     # heads (scale/maxout/cosine), softmax variants, and linear-start
     # keep the unfused op chain
-    use_fused = (backend == "pallas" and cfg.attention_mode in (1, 2)
+    use_fused = (backend == "pallas" and cfg.attention_mode in (1, 2, 3)
                  and not remove_softmax
                  and cfg.att_score_mod == "none"
                  and not (cfg.en_sc_att or cfg.test_maxout
                           or cfg.en_cosine_sim or cfg.en_shift_based_sm
                           or cfg.en_exp_table_based))
+    # mode-3-only Pallas score route (use_pallas_hamming): the Hamming
+    # bit-lattice runs as the VMEM-tiled kernel while everything else
+    # stays on the XLA path — the clean per-op A/B for the paper's core
+    # op (bench.backend_ab --attention-mode 3 --variants ...,hamming)
+    att_backend = backend
+    if (cfg.attention_mode == 3 and cfg.use_pallas_hamming
+            and backend != "pallas"):
+        att_backend = "pallas"
 
     attn, scores_all = [], []
     for h in range(K):
@@ -183,7 +191,12 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             o, p, scores = fused_attention_read(
                 m, c, u, mask_f, fmt_att[h], cfg.fmt_bin, fmt_act[h],
                 score_quantized=(cfg.attention_mode == 2),
-                sum_quantized=q)
+                sum_quantized=q,
+                attention_mode=cfg.attention_mode,
+                ham_num_bit=cfg.num_bits_attention,
+                ham_const_scale=cfg.attention_const_scale,
+                ham_weight_para=cfg.hamming_weight_para,
+                ham_weighted=cfg.hamming_weighted)
             if cfg.en_linear_mapping:
                 u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin,
                                    quantized=q, backend=backend)
@@ -210,7 +223,7 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             m_sc, u_sc, cfg.attention_mode, fmt_att[h], cfg.fmt_bin,
             num_bit=cfg.num_bits_attention,
             const_scale=cfg.attention_const_scale,
-            backend=backend, score_mod=cfg.att_score_mod,
+            backend=att_backend, score_mod=cfg.att_score_mod,
             hamming_weight_para=cfg.hamming_weight_para,
             hamming_weighted=cfg.hamming_weighted)            # [B, M]
         if cfg.en_sc_att and not remove_softmax:
@@ -380,8 +393,9 @@ def forward_prepared(prep: PreparedInference, memory: jax.Array,
     # whole-chain Pallas route: ONE kernel for the K-hop controller loop,
     # consuming the RAW matmul output (per-hop requants happen in-kernel,
     # replacing the 2K slice+requant fusions) — docs/PROFILE_r3.md's lever
-    # on the serial hop-chain dispatch floor
-    use_chain = (cfg.use_fused_chain and cfg.attention_mode == 2
+    # on the serial hop-chain dispatch floor.  Covers modes 2 and 3 (the
+    # mode-3 score is the in-kernel Hamming bit-lattice).
+    use_chain = (cfg.use_fused_chain and cfg.attention_mode in (2, 3)
                  and cfg.en_fixed_point and cfg.att_score_mod == "none"
                  and not (cfg.en_sc_att or cfg.test_maxout
                           or cfg.en_cosine_sim or cfg.en_shift_based_sm
@@ -401,7 +415,12 @@ def forward_prepared(prep: PreparedInference, memory: jax.Array,
         u_fin, p, s = fused_hop_chain_pallas(
             flat, u, hm, mask, fmt_w, cfg.fmt_att, cfg.fmt_bin,
             cfg.fmt_act, linear_mapping=cfg.en_linear_mapping,
-            non_linearity=cfg.en_non_linearity)
+            non_linearity=cfg.en_non_linearity,
+            attention_mode=cfg.attention_mode,
+            ham_num_bit=cfg.num_bits_attention,
+            ham_const_scale=cfg.attention_const_scale,
+            ham_weight_para=cfg.hamming_weight_para,
+            ham_weighted=cfg.hamming_weighted)
         logits = qmatvec(_output_weight(prep.raw, cfg), u_fin,
                          cfg.fmt_ds_ans, cfg.fmt_ds_ans, quantized=False)
         return ForwardResult(logits, p, s)

@@ -138,12 +138,15 @@ def qmatvec_pallas(w: jax.Array, x: jax.Array, fmt_w: QFormat,
 # Hamming-similarity attention scores (mode 3 forward)
 # ---------------------------------------------------------------------------
 
-def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
-                    const_scale: int, round_mode: int, weight_para: int,
-                    weighted: bool):
+def _hamming_score_block(m, u, iwl: int, num_bit: int, const_scale: int,
+                         round_mode: int, weight_para: int, weighted: bool):
+    """In-register mode-3 score (_cuda_approximate_attention semantics):
+    m [TB, M, D] float, u [TB, D] float -> [TB, M] quantized scores at the
+    full-width format (iwl, 31-iwl).  Shared by the standalone hamming
+    kernel, the fused read, and the whole-chain kernel."""
     fmt_full = QFormat(iwl, 31 - iwl, round_mode)
-    wm = _encode_words(m_ref[:], iwl, round_mode)           # [TB, M, D] int32
-    wu = _encode_words(u_ref[:], iwl, round_mode)[:, None, :]
+    wm = _encode_words(m, iwl, round_mode)                  # [TB, M, D] int32
+    wu = _encode_words(u, iwl, round_mode)[:, None, :]
     pm, pu = _common_mode_preprocess(wm, wu)
     sim = jnp.zeros(pm.shape, jnp.float32)
     for i in range(1, num_bit):
@@ -154,7 +157,15 @@ def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
         sign_differs = (pm & INT32_SIGN_BIT) != (pu & INT32_SIGN_BIT)
         sim = jnp.where(sign_differs, -sim, sim)
     term = float_quant(sim * np.float32(2.0 ** const_scale), fmt_full)
-    out_ref[:] = float_quant(jnp.sum(term, axis=-1), fmt_full)
+    return float_quant(jnp.sum(term, axis=-1), fmt_full)
+
+
+def _hamming_kernel(m_ref, u_ref, out_ref, *, iwl: int, num_bit: int,
+                    const_scale: int, round_mode: int, weight_para: int,
+                    weighted: bool):
+    out_ref[:] = _hamming_score_block(m_ref[:], u_ref[:], iwl, num_bit,
+                                      const_scale, round_mode, weight_para,
+                                      weighted)
 
 
 def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
@@ -200,7 +211,10 @@ def hamming_score_pallas(m: jax.Array, u: jax.Array, iwl: int, num_bit: int,
 def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
                        s_ref, *,
                        fmt_att: QFormat, fmt_bin: QFormat, fmt_act: QFormat,
-                       score_quantized: bool, sum_quantized: bool):
+                       score_quantized: bool, sum_quantized: bool,
+                       attention_mode: int = 2, ham_num_bit: int = 8,
+                       ham_const_scale: int = -3, ham_weight_para: int = 0,
+                       ham_weighted: bool = True):
     m = m_ref[:]                                     # [TB, M, D]
     c = c_ref[:]
     u = u_ref[:]                                     # [TB, D]
@@ -211,8 +225,14 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
 
     # scores (mode 2: per-product requant to fmt_att, row-sum requant;
     # mode-2 scores are quantized regardless of EN_FIXED_POINT —
-    # ops.attention.attention_score:231-232)
-    if score_quantized:
+    # ops.attention.attention_score:231-232.  mode 3: the Hamming
+    # bit-lattice on the RAW operands at the full-width format,
+    # cuda_dot_mat_vec_fwd_appx, lib/layer_cuda.cu:2491-2557)
+    if attention_mode == 3:
+        scores = _hamming_score_block(m, u, fmt_att.iwl, ham_num_bit,
+                                      ham_const_scale, fmt_att.mode,
+                                      ham_weight_para, ham_weighted)
+    elif score_quantized:
         prod = float_quant(
             float_quant(m, fmt_att) * float_quant(u, fmt_bin)[:, None, :],
             fmt_att)
@@ -247,16 +267,21 @@ def _fused_read_kernel(m_ref, c_ref, u_ref, mask_ref, o_ref, p_ref,
 def _fused_chain_kernel(flat_ref, u_ref, h_ref, mask_ref,
                         u_out_ref, p_ref, s_ref, *,
                         fmts_w, fmts_att, fmt_bin, fmts_act, n_hops: int,
-                        linear_mapping: bool, non_linearity: bool):
+                        linear_mapping: bool, non_linearity: bool,
+                        attention_mode: int = 2, ham_num_bit: int = 8,
+                        ham_const_scale: int = -3, ham_weight_para: int = 0,
+                        ham_weighted: bool = True):
     """The WHOLE K-hop controller chain in one VMEM-resident program.
 
     flat: [TB, M, 2K*D] — the stacked embedding MXU matmul output, RAW
     (pre-requant); the per-hop-format requants happen in-register here,
     replacing the 2K XLA slice+requant fusions.  u: [TB, D] query
     embedding (already quantized at fmt_w[0]).  h: [K, D, D] raw lin_map
-    weights.  Per hop h (mode 2, EN_FIXED_POINT semantics — bit-identical
+    weights.  Per hop h (EN_FIXED_POINT semantics — bit-identical
     to models.memn2n._hop_stack's unfused op chain):
-      score  = Q(sum_d Q(Q(m,att)*Q(u,bin), att), att)      (qscore)
+      score  = Q(sum_d Q(Q(m,att)*Q(u,bin), att), att)      (qscore, mode 2)
+               or the Hamming bit-lattice on the RAW m/u at the
+               full-width format (mode 3, _hamming_score_block)
       p      = masked softmax(score)                        (ops.softmax)
       o      = Q(sum_m mask*Q(Q(p,act)*Q(c,act), act), act) (qweighted_sum)
       u_map  = Q(sum_i Q(Q(H,w)*Q(u,bin), w), w)            (qmatvec)
@@ -275,10 +300,15 @@ def _fused_chain_kernel(flat_ref, u_ref, h_ref, mask_ref,
         m = float_quant(flat[:, :, h * D:(h + 1) * D], fmt_w)
         c = float_quant(flat[:, :, (K + h) * D:(K + h + 1) * D], fmt_w)
         uq_bin = float_quant(u, fmt_bin)
-        # qscore
-        prod = float_quant(
-            float_quant(m, fmt_att) * uq_bin[:, None, :], fmt_att)
-        scores = float_quant(jnp.sum(prod, axis=-1), fmt_att)   # [TB, M]
+        # score
+        if attention_mode == 3:
+            scores = _hamming_score_block(
+                m, u, fmt_att.iwl, ham_num_bit, ham_const_scale,
+                fmt_att.mode, ham_weight_para, ham_weighted)    # [TB, M]
+        else:
+            prod = float_quant(
+                float_quant(m, fmt_att) * uq_bin[:, None, :], fmt_att)
+            scores = float_quant(jnp.sum(prod, axis=-1), fmt_att)  # [TB, M]
         s_ref[:, h, :] = scores
         # masked softmax (ops.softmax._masked_exp_parts semantics)
         sm = jnp.where(mask, scores, neg)
@@ -331,8 +361,13 @@ def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
                            linear_mapping: bool = True,
                            non_linearity: bool = False,
                            batch_tile: int = 0,
-                           interpret: bool = False):
-    """One Pallas program for the whole K-hop chain (mode 2, quantized).
+                           interpret: bool = False,
+                           attention_mode: int = 2,
+                           ham_num_bit: int = 8,
+                           ham_const_scale: int = -3,
+                           ham_weight_para: int = 0,
+                           ham_weighted: bool = True):
+    """One Pallas program for the whole K-hop chain (mode 2/3, quantized).
 
     flat: [B, M, 2K*D] raw stacked-embedding matmul output; u: [B, D];
     hmats: [K, D, D] (pass zeros with linear_mapping=False); mask: [B, M]
@@ -361,7 +396,12 @@ def fused_hop_chain_pallas(flat: jax.Array, u: jax.Array,
                           fmts_att=tuple(fmts_att), fmt_bin=fmt_bin,
                           fmts_act=tuple(fmts_act), n_hops=K,
                           linear_mapping=linear_mapping,
-                          non_linearity=non_linearity),
+                          non_linearity=non_linearity,
+                          attention_mode=attention_mode,
+                          ham_num_bit=ham_num_bit,
+                          ham_const_scale=ham_const_scale,
+                          ham_weight_para=ham_weight_para,
+                          ham_weighted=ham_weighted),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tb, M, KD2), lambda i: (i, 0, 0),
@@ -398,8 +438,13 @@ def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
                                 score_quantized: bool = True,
                                 sum_quantized: bool = True,
                                 batch_tile: int = DEFAULT_BATCH_TILE,
-                                interpret: bool = False):
-    """One-program attention read for mode 1/2.
+                                interpret: bool = False,
+                                attention_mode: int = 2,
+                                ham_num_bit: int = 8,
+                                ham_const_scale: int = -3,
+                                ham_weight_para: int = 0,
+                                ham_weighted: bool = True):
+    """One-program attention read for modes 1/2/3.
     m, c: [B, M, D]; u: [B, D]; mask: [B, M]
     -> (o [B, D], p [B, M], scores [B, M])."""
     B, M, D = m.shape
@@ -416,7 +461,12 @@ def fused_attention_read_pallas(m: jax.Array, c: jax.Array, u: jax.Array,
         functools.partial(_fused_read_kernel, fmt_att=fmt_att,
                           fmt_bin=fmt_bin, fmt_act=fmt_act,
                           score_quantized=score_quantized,
-                          sum_quantized=sum_quantized),
+                          sum_quantized=sum_quantized,
+                          attention_mode=attention_mode,
+                          ham_num_bit=ham_num_bit,
+                          ham_const_scale=ham_const_scale,
+                          ham_weight_para=ham_weight_para,
+                          ham_weighted=ham_weighted),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((tb, M, D), lambda i: (i, 0, 0),

@@ -74,6 +74,103 @@ def test_fused_attention_read_matches_composition(rng, quantized):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_attention_read_mode3_matches_composition(rng):
+    """Mode-3 fused read: in-kernel Hamming bit-lattice -> masked softmax
+    -> quantized weighted sum must equal the unfused composition
+    bit-for-bit."""
+    fmt = QFormat(2, 5)
+    B, M, D = 7, 6, 10
+    m = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, M, D)).astype(np.float32)), fmt)
+    c = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, M, D)).astype(np.float32)), fmt)
+    u = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, D)).astype(np.float32)), fmt)
+    n_sen = rng.integers(1, M + 1, B)
+    mask = jnp.asarray(np.arange(M)[None, :] < n_sen[:, None])
+
+    o, p, s = fused_attention_read_pallas(
+        m, c, u, mask, fmt, fmt, fmt, interpret=True,
+        attention_mode=3, ham_num_bit=8)
+    scores = hamming_score(m, u, fmt.iwl, 8)
+    p_ref = softmax(scores, mask)
+    o_ref = qweighted_sum(c, p_ref, mask.astype(jnp.float32), fmt,
+                          quantized=True)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(scores))
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref))
+
+
+def test_fused_attention_read_mode3_gradients_match_surrogate(rng):
+    """Mode-3 fused read VJP must equal the unfused chain's gradients —
+    i.e. the reference's hand-crafted Hamming surrogate through the
+    softmax/weighted-sum backward."""
+    import jax
+    from qmann_tpu.ops.fused import fused_attention_read
+    fmt = QFormat(2, 5)
+    B, M, D = 5, 6, 8
+    m = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, M, D)).astype(np.float32)), fmt)
+    c = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, M, D)).astype(np.float32)), fmt)
+    u = float_quant(jnp.asarray(
+        rng.normal(0, 1.5, (B, D)).astype(np.float32)), fmt)
+    g = jnp.asarray(rng.normal(0, 1, (B, D)).astype(np.float32))
+    n_sen = rng.integers(1, M + 1, B)
+    mask = np.arange(M)[None, :] < n_sen[:, None]
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    def f_fused(m_, c_, u_):
+        o, _, _ = fused_attention_read(m_, c_, u_, mask_f, fmt, fmt, fmt,
+                                       interpret=True, attention_mode=3,
+                                       ham_num_bit=8)
+        return jnp.sum(o * g)
+
+    def f_ref(m_, c_, u_):
+        scores = hamming_score(m_, u_, fmt.iwl, 8)
+        p = softmax(scores, jnp.asarray(mask))
+        o = qweighted_sum(c_, p, mask_f, fmt, quantized=True)
+        return jnp.sum(o * g)
+
+    got = jax.grad(f_fused, argnums=(0, 1, 2))(m, c, u)
+    want = jax.grad(f_ref, argnums=(0, 1, 2))(m, c, u)
+    for a, b, name in zip(got, want, ("dm", "dc", "du")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_model_forward_pallas_hamming_only_matches_jnp(rng):
+    """use_pallas_hamming routes JUST the mode-3 score through the Pallas
+    kernel — forward must stay bit-identical to the pure-jnp path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from qmann_tpu.config import QmannConfig
+    from qmann_tpu.data import DataDims
+    from qmann_tpu.models import memn2n
+
+    cfg = QmannConfig(dim_emb=8, num_hops=2, verbose=False,
+                      attention_mode=3)
+    dims = DataDims(dim_dict=12, max_line=5, max_word=5, dim_word=6,
+                    dim_input=17)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    mem = rng.integers(0, 2, (6, 5, 17)).astype(np.float32)
+    que = rng.integers(0, 2, (6, 17)).astype(np.float32)
+    n_sen = rng.integers(1, 6, 6)
+    mask = np.arange(5)[None, :] < n_sen[:, None]
+    mem = mem * mask[:, :, None]
+    out_ref = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                             jnp.asarray(mask), cfg)
+    with pltpu.force_tpu_interpret_mode():
+        out_pl = memn2n.forward(params, jnp.asarray(mem), jnp.asarray(que),
+                                jnp.asarray(mask),
+                                cfg.replace(use_pallas_hamming=True))
+    np.testing.assert_array_equal(np.asarray(out_pl.logits),
+                                  np.asarray(out_ref.logits))
+    np.testing.assert_array_equal(np.asarray(out_pl.scores),
+                                  np.asarray(out_ref.scores))
+
+
 def test_model_forward_pallas_backend_matches_jnp(rng):
     """The whole model forward with use_pallas must match the jnp backend
     bit-for-bit (interpret mode on CPU)."""
@@ -169,10 +266,14 @@ def test_fused_attention_read_op_gradients_match_composition(rng, quantized):
                                    rtol=1e-5, atol=1e-6, err_msg=name)
 
 
-@pytest.mark.parametrize("tying,linmap,relu", [(2, True, False),
-                                               (2, False, True),
-                                               (1, True, False)])
-def test_fused_hop_chain_matches_unfused_prepared(rng, tying, linmap, relu):
+@pytest.mark.parametrize("tying,linmap,relu,att_mode",
+                         [(2, True, False, 2),
+                          (2, False, True, 2),
+                          (1, True, False, 2),
+                          (2, True, False, 3),   # Hamming in-chain
+                          (1, False, False, 3)])
+def test_fused_hop_chain_matches_unfused_prepared(rng, tying, linmap, relu,
+                                                  att_mode):
     """forward_prepared with use_fused_chain (the whole K-hop controller
     loop as ONE Pallas program, consuming the RAW stacked-embedding matmul
     output) must be bit-identical to the regular forward — logits,
@@ -186,7 +287,7 @@ def test_fused_hop_chain_matches_unfused_prepared(rng, tying, linmap, relu):
     from qmann_tpu.models import memn2n
 
     cfg = QmannConfig(dim_emb=8, num_hops=3, verbose=False,
-                      type_weight_tying=tying,
+                      type_weight_tying=tying, attention_mode=att_mode,
                       en_linear_mapping=linmap, en_non_linearity=relu)
     dims = DataDims(dim_dict=12, max_line=5, max_word=5, dim_word=6,
                     dim_input=17)
@@ -220,8 +321,10 @@ def test_fused_hop_chain_matches_unfused_prepared(rng, tying, linmap, relu):
 
 
 def test_fused_chain_guard_falls_back(rng):
-    """Configs outside the chain's envelope (mode 3, score mods, feature
-    heads) must silently keep the unfused prepared path."""
+    """Configs outside the chain's envelope (float mode 1, score mods,
+    feature heads) must silently keep the unfused prepared path.  (Mode 3
+    now TAKES the chain route — covered by
+    test_fused_hop_chain_matches_unfused_prepared.)"""
     import jax
     from qmann_tpu.config import QmannConfig
     from qmann_tpu.data import DataDims
@@ -232,7 +335,7 @@ def test_fused_chain_guard_falls_back(rng):
     mem = rng.integers(0, 2, (4, 5, 17)).astype(np.float32)
     que = rng.integers(0, 2, (4, 17)).astype(np.float32)
     mask = np.ones((4, 5), bool)
-    for extra in (dict(attention_mode=3), dict(en_att_shift=True),
+    for extra in (dict(attention_mode=1), dict(en_att_shift=True),
                   dict(en_sc_att=True)):
         cfg = QmannConfig(dim_emb=8, num_hops=2, verbose=False,
                           use_fused_chain=True, **extra)
