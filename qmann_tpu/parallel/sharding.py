@@ -118,3 +118,63 @@ def make_sharded_eval_step(cfg: QmannConfig, mesh: Mesh):
         return met.cost, met.matches
 
     return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Sharded inference/serving (BASELINE.md north star: q/s scaling
+# 1 chip -> 1 host -> N hosts covers inference as well as training)
+# ---------------------------------------------------------------------------
+
+def _replicate(mesh: Mesh, v: jax.Array) -> jax.Array:
+    return jax.device_put(v, NamedSharding(mesh, P(*([None] * v.ndim))))
+
+
+def shard_prepared(mesh: Mesh, prep):
+    """Place a PreparedInference's serving-layout weights on the mesh:
+    everything replicated (the whole parameter set is ~100 KB at the
+    reference dims — far below the cost of gathering activations), the
+    same reasoning as param_shardings for the training embeddings."""
+    from qmann_tpu.models.memn2n import PreparedInference
+    raw = {k: _replicate(mesh, jnp.asarray(v)) for k, v in prep.raw.items()}
+    return PreparedInference(
+        raw, prep.fast,
+        _replicate(mesh, prep.query_wt) if prep.query_wt is not None
+        else None,
+        _replicate(mesh, prep.embed_wt) if prep.embed_wt is not None
+        else None)
+
+
+def make_sharded_prepared_infer(prep, cfg: QmannConfig, mesh: Mesh):
+    """Mesh-aware serving forward on the prepared (frozen/stacked) weights:
+    batch over the "data" axis, memory banks over the "model" axis (the
+    KV-cache-style sharding — XLA partitions the attention softmax over
+    the sharded M axis into distributed max/sum), weights replicated.
+
+    Pallas routes are single-core programs, so the sharded path pins the
+    partitionable XLA forward (use_fused_chain/use_pallas off); the
+    exact-MXU static routes and all quantization semantics are identical,
+    and the result is bit-identical to the single-device prepared forward
+    (tests/test_parallel.py::test_sharded_prepared_infer_matches_single).
+
+    Returns run(memory, question, answer, mask) -> (cost, matches, pred).
+    """
+    cfg = cfg.replace(use_fused_chain=False, use_pallas=False,
+                      use_pallas_hamming=False)
+    sprep = shard_prepared(mesh, prep)
+
+    @jax.jit
+    def infer(memory, question, answer, mask):
+        out = memn2n.forward_prepared(sprep, memory, question, mask, cfg)
+        from qmann_tpu.ops import cross_entropy
+        met = cross_entropy(out.logits, answer)
+        return met.cost, met.matches, met.pred
+
+    def run(memory, question, answer, mask):
+        b = axis_if_divisible(mesh, DATA_AXIS, question.shape[0])
+        m = axis_if_divisible(mesh, MODEL_AXIS, mask.shape[-1])
+        put = lambda v, spec: jax.device_put(jnp.asarray(v),
+                                             NamedSharding(mesh, spec))
+        return infer(put(memory, P(b, m, None)), put(question, P(b, None)),
+                     put(answer, P(b, None)), put(mask, P(b, m)))
+
+    return run

@@ -56,12 +56,20 @@ class EngineStats:
 class InferenceEngine:
     def __init__(self, params: Dict, cfg: QmannConfig, dims: DataDims,
                  dictionary: Dictionary, batch_size: int = 64,
-                 max_wait_ms: float = 2.0, prepare: bool = True):
+                 max_wait_ms: float = 2.0, prepare: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
         from qmann_tpu.models import memn2n
         from qmann_tpu.ops import argmax_last
 
+        if mesh is not None:
+            # sharded serving: Pallas routes are single-core programs, so
+            # the mesh path pins the partitionable XLA forward (identical
+            # numerics; parallel.make_sharded_prepared_infer's contract)
+            cfg = cfg.replace(use_fused_chain=False, use_pallas=False,
+                              use_pallas_hamming=False)
+        self.mesh = mesh
         self.cfg = cfg
         self.dims = dims
         self.dictionary = dictionary
@@ -82,6 +90,12 @@ class InferenceEngine:
         self.prepared = memn2n.prepare_inference(
             self.params, cfg, max_count=float(dims.max_word + 1),
             max_rowsum=float(dims.max_word + 1)) if prepare else None
+        if mesh is not None:
+            from qmann_tpu.parallel.sharding import (
+                shard_params, shard_prepared)
+            self.params = shard_params(mesh, self.params)
+            if self.prepared is not None:
+                self.prepared = shard_prepared(mesh, self.prepared)
         prepared = self.prepared
         raw_params = self.params
 
@@ -97,7 +111,25 @@ class InferenceEngine:
                 out = memn2n.forward(raw_params, memory, question, mask, cfg)
             return argmax_last(out.logits, axis=-1)
 
-        self._infer = _infer
+        if mesh is None:
+            self._infer = _infer
+        else:
+            # sharded waves: batch over "data", memory banks over "model"
+            # (GSPMD partitions the wave forward across the mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            from qmann_tpu.parallel.sharding import axis_if_divisible
+            b = axis_if_divisible(mesh, DATA_AXIS, batch_size)
+            mrows = axis_if_divisible(mesh, MODEL_AXIS, dims.max_line)
+
+            def _infer_sharded(memory, question, mask):
+                put = lambda v, spec: jax.device_put(
+                    v, NamedSharding(mesh, spec))
+                return _infer(put(memory, P(b, mrows, None)),
+                              put(question, P(b, None)),
+                              put(mask, P(b, mrows)))
+
+            self._infer = _infer_sharded
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = False
 

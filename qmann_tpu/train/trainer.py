@@ -154,7 +154,7 @@ def evaluate(params: Params, memory, question, answer, mask,
 
 
 def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
-               chunk: int = 1024) -> Tuple[float, float, np.ndarray]:
+               chunk: int = 1024, mesh=None) -> Tuple[float, float, np.ndarray]:
     """Returns (cost, error_rate, predictions).
 
     Every chunk is zero-padded to the static `chunk` size so a whole run
@@ -164,23 +164,38 @@ def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
     samples contribute exactly nothing: cost = -sum(y*probs) and the
     match test hit==1.0 are both null on an all-zero one-hot answer, and
     fully-masked samples are NaN-free by the same mechanism the padded
-    training batches rely on (tests/test_model.py)."""
+    training batches rely on (tests/test_model.py).
+
+    mesh: optional jax.sharding.Mesh — chunks are placed batch-over-
+    "data" / memory-banks-over-"model" and GSPMD partitions the same
+    jitted evaluate (numerically identical to the single-device path,
+    tests/test_parallel.py)."""
     n = len(split)
     costs, matches, preds = 0.0, 0, []
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from qmann_tpu.parallel.sharding import axis_if_divisible
+        b = axis_if_divisible(mesh, DATA_AXIS, chunk)
+        mm = axis_if_divisible(mesh, MODEL_AXIS, split.mask.shape[-1])
+        specs = {"memory": P(b, mm, None), "question": P(b, None),
+                 "answer": P(b, None), "mask": P(b, mm)}
 
-    def padded(x):
+    def padded(x, name):
         pad = chunk - x.shape[0]
-        if pad <= 0:
-            return jnp.asarray(x)
-        return jnp.asarray(np.concatenate(
-            [x, np.zeros((pad,) + x.shape[1:], x.dtype)]))
+        if pad > 0:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        if mesh is not None:
+            return jax.device_put(jnp.asarray(x),
+                                  NamedSharding(mesh, specs[name]))
+        return jnp.asarray(x)
 
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        c, m, p = evaluate(params, padded(split.memory[s:e]),
-                           padded(split.question[s:e]),
-                           padded(split.answer[s:e]),
-                           padded(split.mask[s:e]), cfg)
+        c, m, p = evaluate(params, padded(split.memory[s:e], "memory"),
+                           padded(split.question[s:e], "question"),
+                           padded(split.answer[s:e], "answer"),
+                           padded(split.mask[s:e], "mask"), cfg)
         costs += float(c)
         matches += int(m)
         preds.append(np.asarray(p)[:e - s])
@@ -271,7 +286,8 @@ def train_task(cfg: QmannConfig, data: TaskData,
             params, batches, jnp.float32(lr), cfg, remove_softmax)
         err_train = 1.0 - int(match_train) / max(n_train, 1)
 
-        cost_valid, err_valid, _ = eval_split(params, data.valid, cfg)
+        cost_valid, err_valid, _ = eval_split(params, data.valid, cfg,
+                                              mesh=mesh)
 
         if analyzer is not None:
             # EN_SIMILARITY_ANALYSIS (MemN2N/MemN2N.c:1416-1475): dump the
@@ -311,7 +327,8 @@ def train_task(cfg: QmannConfig, data: TaskData,
     eval_params = best_params if (cfg.en_save_best_model
                                   and best_params is not None) else params
     t0 = time.time()
-    cost_test, err_test, _ = eval_split(eval_params, data.test, cfg)
+    cost_test, err_test, _ = eval_split(eval_params, data.test, cfg,
+                                        mesh=mesh)
     time_test = time.time() - t0
     return TrainResult(params, best_params, history, err_test, cost_test,
                        time_train, time_test)

@@ -208,3 +208,54 @@ def test_explicit_step_rejects_unsupported_wiring():
     with pytest.raises(NotImplementedError):
         make_explicit_train_step(
             QmannConfig(type_weight_tying=1, verbose=False), mesh)
+
+
+@pytest.mark.parametrize("att_mode", [2, 3])
+def test_sharded_prepared_infer_matches_single(rng, att_mode):
+    """The mesh-aware PREPARED (serving) forward must be bit-identical to
+    the single-device prepared forward: same preds, same cost — for the
+    flagship mode 2 and the Hamming mode 3."""
+    from qmann_tpu.ops import cross_entropy
+    from qmann_tpu.parallel import make_sharded_prepared_infer
+    _requires_8_devices()
+    cfg, dims, batch = make_case(rng)
+    cfg = cfg.replace(attention_mode=att_mode)
+    mesh = make_mesh(8, model_parallelism=4)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    prep = memn2n.prepare_inference(
+        params, cfg, max_count=2.0,
+        max_rowsum=float(batch["memory"].sum(-1).max()))
+    assert prep.fast
+
+    out = memn2n.forward_prepared(
+        prep, jnp.asarray(batch["memory"]), jnp.asarray(batch["question"]),
+        jnp.asarray(batch["mask"]), cfg)
+    met = cross_entropy(out.logits, jnp.asarray(batch["answer"]))
+
+    infer = make_sharded_prepared_infer(prep, cfg, mesh)
+    cost, matches, preds = infer(batch["memory"], batch["question"],
+                                 batch["answer"], batch["mask"])
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(met.pred))
+    assert int(matches) == int(met.matches)
+    np.testing.assert_allclose(float(cost), float(met.cost), rtol=1e-6)
+
+
+def test_eval_split_mesh_matches_plain(rng):
+    """eval_split over a mesh (batch over 'data', memory banks over
+    'model') must agree with the single-device path."""
+    from qmann_tpu.data.babi import VectorizedSplit
+    from qmann_tpu.train import eval_split
+    _requires_8_devices()
+    cfg, dims, batch = make_case(rng, n=24)
+    mesh = make_mesh(8, model_parallelism=4)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(1))
+    n_sen = batch["mask"].sum(-1).astype(np.int32)
+    split = VectorizedSplit(batch["memory"], batch["question"],
+                            batch["answer"], n_sen,
+                            batch["answer"].argmax(-1).astype(np.int32))
+    cost0, err0, preds0 = eval_split(params, split, cfg, chunk=16)
+    sp = shard_params(mesh, params)
+    cost1, err1, preds1 = eval_split(sp, split, cfg, chunk=16, mesh=mesh)
+    np.testing.assert_array_equal(preds0, preds1)
+    assert err0 == err1
+    np.testing.assert_allclose(cost0, cost1, rtol=1e-6)

@@ -91,6 +91,33 @@ def test_inference_engine_end_to_end():
         eng.stop()
 
 
+def test_inference_engine_sharded_matches_single():
+    """Engine over a device mesh must answer identically to the
+    single-device engine (sharded serving path)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from qmann_tpu.parallel import make_mesh
+    cfg, dims, d, params = _toy_setup()
+    story, q = [["mary", "went", "home"]], ["where", "is", "mary"]
+    eng0 = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                           max_wait_ms=1.0).start()
+    try:
+        want = eng0.submit(story, q).result(timeout=60)
+    finally:
+        eng0.stop()
+    mesh = make_mesh(8, model_parallelism=4)
+    eng1 = InferenceEngine(params, cfg, dims, d, batch_size=4,
+                           max_wait_ms=1.0, mesh=mesh).start()
+    try:
+        futs = [eng1.submit(story, q) for _ in range(6)]
+        answers = [f.result(timeout=60) for f in futs]
+        assert eng1.stats.failed_waves == 0
+        assert set(answers) == {want}
+    finally:
+        eng1.stop()
+
+
 def test_inference_engine_packet_path():
     cfg, dims, d, params = _toy_setup()
     eng = InferenceEngine(params, cfg, dims, d, batch_size=2,
