@@ -66,7 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--non-linearity", action="store_true",
                    help="ReLU between hops (EN_NON_LINEARITY, define.h:294)")
     p.add_argument("--grad-quant", action="store_true",
-                   help="quantize gradients in the update (EN_GRAD_QUANT)")
+                   help="EN_GRAD_QUANT (define.h:91, undef in the shipped "
+                        "build): fixed-point effects in the backward pass")
+    p.add_argument("--grad-quant-placement", default="backward",
+                   choices=["backward", "update"],
+                   help="'backward' = the reference's f_fixed threading "
+                        "(quantized dot_mat_vec bwd contractions + dense "
+                        "saturation grad mask, lib/layer.c:551-555); "
+                        "'update' = single-point batch-gradient quantize "
+                        "in sgd_update (pre-r5 deviation, for comparison)")
     p.add_argument("--quant-mode", type=int, default=3, choices=[0, 1, 2, 3],
                    help="rounding: 0 down, 1 up, 2 nearest-even, "
                         "3 toward zero (EN_QUANT_MODE, define.h:35-47)")
@@ -93,6 +101,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim-forced", action="store_true",
                    help="DIM_FORCED: force dims to max_dict_len/max_sen_len")
     p.add_argument("--save-best-model", action="store_true")
+    p.add_argument("--similarity-analysis", action="store_true",
+                   help="EN_SIMILARITY_ANALYSIS (define.h:71): dump the "
+                        "attention softmax inputs/outputs per epoch into "
+                        "25-epoch-bucket CSVs")
+    p.add_argument("--similarity-dir", default=None,
+                   help="where the similarity CSVs go (default: out-dir)")
+    p.add_argument("--similarity-probe", type=int, default=32,
+                   help="samples dumped per epoch; 0 = the FULL validation "
+                        "split (reference per-sample fidelity, "
+                        "MemN2N.c:1416-1475)")
     p.add_argument("--joint", action="store_true",
                    help="EN_JOINT: train once on qa_joint, test per task")
     p.add_argument("--pe", action="store_true",
@@ -155,6 +173,7 @@ def config_from_args(args) -> QmannConfig:
         hamming_weighted=not args.hamming_unweighted,
         en_non_linearity=args.non_linearity,
         en_grad_quant=args.grad_quant,
+        grad_quant_placement=args.grad_quant_placement,
         quant_mode=args.quant_mode,
         lambda_=args.weight_decay,
         en_linear_start=args.linear_start,
@@ -163,6 +182,9 @@ def config_from_args(args) -> QmannConfig:
         max_dict_len=args.max_dict_len,
         dim_forced=args.dim_forced,
         en_save_best_model=args.save_best_model,
+        en_similarity_analysis=args.similarity_analysis,
+        similarity_analysis_dir=(args.similarity_dir or args.out_dir),
+        similarity_probe_size=args.similarity_probe,
         en_joint=args.joint,
         en_pe=args.pe,
         en_time=not args.no_time,

@@ -57,6 +57,14 @@ class QmannConfig:
     binary_mode: bool = False        # :88  iwl=frac=0 everywhere
     attention_const_scale: int = -3  # :67
     en_grad_quant: bool = False      # :91 (undef)
+    # EN_GRAD_QUANT placement: "backward" is the reference's f_fixed
+    # threading (lib/layer.c:551-555 — quantized dot_mat_vec backward
+    # contractions at (1, iwl+frac-1) + the dense saturation grad mask;
+    # weight-grad accumulations stay float, lib/layer_cuda.cu:3266);
+    # "update" quantizes the accumulated batch gradient once in
+    # sgd_update (the pre-round-5 single-point deviation, kept for
+    # comparison)
+    grad_quant_placement: str = "backward"
 
     # --- model (define.h:150-196, :284-298) ---
     num_hops: int = 3                # :243-275 per attention mode; 3 for modes 1-3
@@ -73,6 +81,10 @@ class QmannConfig:
     en_sc_att: bool = False          # :59   learnable scale before attn softmax
     en_similarity_analysis: bool = False  # :71  softmax distribution dumps
     similarity_analysis_dir: str = "."    # where the bucket CSVs go
+    # per-epoch dump size: N = probe the first N validation samples;
+    # 0 = FULL-split dump (the reference's per-sample fidelity,
+    # MemN2N/MemN2N.c:1416-1475 — every sample, every hop, every epoch)
+    similarity_probe_size: int = 32
     en_shift_based_sm: bool = False  # :55
     en_exp_table_based: bool = False # :315  exp_plan softmax
     en_cosine_sim: bool = False      # :200
@@ -143,6 +155,9 @@ class QmannConfig:
         if self.en_att_shift and self.en_att_clip:
             raise ValueError("en_att_shift and en_att_clip are mutually "
                              "exclusive score mitigations")
+        if self.grad_quant_placement not in ("update", "backward"):
+            raise ValueError(
+                f"unknown grad_quant_placement {self.grad_quant_placement!r}")
 
     @property
     def att_score_mod(self) -> str:

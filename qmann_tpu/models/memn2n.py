@@ -131,11 +131,14 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     # (sample.c:546-547)
     q_integer = not cfg.en_pe and cfg.en_integer_fast_path
 
+    gq = (cfg.en_grad_quant and cfg.grad_quant_placement == "backward"
+          and cfg.en_fixed_point)
+
     # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
     # MemN2N/MemN2N.c:823)
     u = qmatvec(_query_weight(params, cfg), question,
                 fmt_w[0], fmt_w[0], quantized=q, backend=backend,
-                integer_inputs=q_integer)
+                integer_inputs=q_integer, grad_quantized=gq)
 
     # All 2K memory embeddings (A and C per hop, per-hop formats under
     # EN_MQ) in ONE stacked MXU matmul — the reference runs 2K sequential
@@ -161,12 +164,15 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
     mask_f = mask.astype(jnp.float32)
     K = cfg.num_hops
+    gq = (cfg.en_grad_quant and cfg.grad_quant_placement == "backward"
+          and cfg.en_fixed_point)
 
     # the Pallas fused read covers the plain mode-1/2/3 hop chain; feature
-    # heads (scale/maxout/cosine), softmax variants, and linear-start
-    # keep the unfused op chain
+    # heads (scale/maxout/cosine), softmax variants, linear-start, and the
+    # EN_GRAD_QUANT backward placement (the fused VJP is raw-float) keep
+    # the unfused op chain
     use_fused = (backend == "pallas" and cfg.attention_mode in (1, 2, 3)
-                 and not remove_softmax
+                 and not remove_softmax and not gq
                  and cfg.att_score_mod == "none"
                  and not (cfg.en_sc_att or cfg.test_maxout
                           or cfg.en_cosine_sim or cfg.en_shift_based_sm
@@ -225,7 +231,8 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             const_scale=cfg.attention_const_scale,
             backend=att_backend, score_mod=cfg.att_score_mod,
             hamming_weight_para=cfg.hamming_weight_para,
-            hamming_weighted=cfg.hamming_weighted)            # [B, M]
+            hamming_weighted=cfg.hamming_weighted,
+            grad_quantized=gq)                                # [B, M]
         if cfg.en_sc_att and not remove_softmax:
             scores = scale_apply(params["scale"][h], scores)
         if cfg.test_maxout:
@@ -237,13 +244,14 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
                               shift_based=cfg.en_shift_based_sm,
                               use_exp_plan=cfg.en_exp_table_based,
                               remove=remove_softmax)           # [B, M]
-        o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=q)  # [B, D]
+        o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=q,
+                          grad_quantized=gq)                   # [B, D]
 
         if cfg.en_linear_mapping:
             # lin_map: dense(D->D) with in fmt_bin / w fmt_w[h]
             # (MemN2N/MemN2N.c:860)
             u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin, quantized=q,
-                               backend=backend)
+                               backend=backend, grad_quantized=gq)
         else:
             u_mapped = u
         u = qsum(u_mapped, o, fmt_act[h], quantized=q)         # [B, D]

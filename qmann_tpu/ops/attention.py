@@ -250,7 +250,8 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
                     backend: str = "jnp",
                     score_mod: str = "none",
                     hamming_weight_para: int = 0,
-                    hamming_weighted: bool = True) -> jax.Array:
+                    hamming_weighted: bool = True,
+                    grad_quantized: bool = False) -> jax.Array:
     """Dispatch over the four attention modes (lib/layer.c:167-251).
 
     score_mod (qlinear.qscore): opt-in saturation mitigation, applied to
@@ -263,7 +264,7 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
         return qscore(m, u, fmt_att, fmt_bin, quantized=False)
     if attention_mode == 2:
         return qscore(m, u, fmt_att, fmt_bin, quantized=True,
-                      score_mod=score_mod)
+                      score_mod=score_mod, grad_quantized=grad_quantized)
     if attention_mode == 3:
         nb = num_bit if num_bit is not None else 1 + fmt_att.iwl + fmt_att.frac
         return hamming_score(m, u, fmt_att.iwl, nb, const_scale,

@@ -64,6 +64,14 @@ def _qproducts(a: jax.Array, b: jax.Array, fmt_a: QFormat, fmt_b: QFormat,
     return float_quant(float_quant(a, fmt_a) * float_quant(b, fmt_b), fmt_prod)
 
 
+def _grad_out_fmt(fmt: QFormat) -> QFormat:
+    """Output format of the EN_GRAD_QUANT backward contractions: the
+    reference passes (iwl_out, frac_out) = (1, iwl+frac-1) — same word
+    length shifted to one integer bit (cuda_dot_mat_vec_bwd,
+    lib/layer_cuda.cu:2592-2596, :2605-2609)."""
+    return QFormat(1, fmt.iwl + fmt.frac - 1, fmt.mode)
+
+
 # ---------------------------------------------------------------------------
 # qmatvec: out = W @ x   (dense layer forward, lib/layer_cuda.cu:3163-3210)
 # ---------------------------------------------------------------------------
@@ -93,10 +101,11 @@ def _mxu_matmul(x, wq_t, exact_bf16: bool):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
             quantized: bool = True, backend: str = "jnp",
-            integer_inputs: bool = False) -> jax.Array:
+            integer_inputs: bool = False,
+            grad_quantized: bool = False) -> jax.Array:
     """Quantized matrix-vector product: out[...,o] = Q(sum_i Q(Q(w)Q(x)))
 
     w: [O, I]; x: [..., I] -> [..., O].
@@ -120,6 +129,16 @@ def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
     is applied: the output is multiplied by sum(w)/(O*I).  NB the
     reference's "_cuda_l1_norm" sums the raw weights (no abs),
     lib/layer_cuda.cu:1624-1650 — reproduced as-is.
+
+    grad_quantized=True selects the EN_GRAD_QUANT per-backward placement
+    for dense layers (cuda_dense_bwd f_fixed=true): the weight-gradient
+    accumulation stays FLOAT (the accum kernel is invoked with f_fixed
+    hardcoded false, lib/layer_cuda.cu:3266) and the only fixed-point
+    effect is _cuda_grad_mask_fixed (:3273, kernel :1734-1741) — zero the
+    incoming gradient where the forward OUTPUT strictly exceeds the
+    (iwl_in, frac_in) bounds — applied AFTER the weight-grad accum and
+    BEFORE grad_out.  (On quantized outputs the strict compare can never
+    fire — saturation clamps TO the bound — reproduced faithfully.)
     """
     return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
                              integer_inputs)
@@ -182,17 +201,28 @@ def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp",
     return out
 
 
-def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend, integer_inputs):
-    return (_qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
-                              integer_inputs), (w, x))
+def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend, integer_inputs,
+                 grad_quantized):
+    out = _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
+                            integer_inputs)
+    # the forward output is saved only for the EN_GRAD_QUANT saturation
+    # mask (it is the next layer's input and alive anyway)
+    res = (w, x, out if (quantized and grad_quantized) else None)
+    return out, res
 
 
-def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs, res, g):
-    w, x = res
+def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs,
+                 grad_quantized, res, g):
+    w, x, out = res
     # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
     #   w_del += g (x)^T ; grad_x = W^T g
     dw = jnp.einsum("...o,...i->oi", g, x, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
+    if quantized and grad_quantized:
+        # _cuda_grad_mask_fixed (lib/layer_cuda.cu:1734-1741) at
+        # (iwl_in, frac_in), after the w-del accum, before grad_out
+        maxf = fixed_max_float(fmt_x.iwl, fmt_x.frac)
+        g = jnp.where((out > maxf) | (out < -maxf), 0.0, g)
     dx = jnp.einsum("oi,...o->...i", w, g, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     return dw, dx
@@ -399,9 +429,10 @@ qembed_mat_multi.defvjp(_qembed_mat_multi_fwd, _qembed_mat_multi_bwd)
 # qscore: scores = M @ u  (attention modes 1/2; lib/layer_cuda.cu:2406-2443)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
-           quantized: bool = True, score_mod: str = "none") -> jax.Array:
+           quantized: bool = True, score_mod: str = "none",
+           grad_quantized: bool = False) -> jax.Array:
     """Attention score: m [..., M, D] x u [..., D] -> [..., M].
 
     Mode 2 (quantized dot, MemN2N/define.h:15 default): per-product requant
@@ -430,6 +461,12 @@ def qscore(m: jax.Array, u: jax.Array, fmt_m: QFormat, fmt_u: QFormat,
     Padded memory rows are handled by the caller (mask applied before the
     softmax); the op itself computes every row like the reference computes
     every live row.
+
+    grad_quantized=True selects the EN_GRAD_QUANT per-backward placement
+    (f_fixed threading, lib/layer.c:551-555): both backward contractions
+    quantize per-product at (fmt_m, fmt_m) and re-quantize their outputs
+    at (1, iwl+frac-1) — cuda_dot_mat_vec_bwd's f_fixed=true non-trans
+    branch (lib/layer_cuda.cu:2603-2609).
     """
     return _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod)
 
@@ -454,12 +491,28 @@ def _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod="none"):
     return float_quant(_apply_score_mod(raw, fmt_m, score_mod), fmt_m)
 
 
-def _qscore_fwd(m, u, fmt_m, fmt_u, quantized, score_mod):
+def _qscore_fwd(m, u, fmt_m, fmt_u, quantized, score_mod, grad_quantized):
     return _qscore_impl(m, u, fmt_m, fmt_u, quantized, score_mod), (m, u)
 
 
-def _qscore_bwd(fmt_m, fmt_u, quantized, score_mod, res, g):
+def _qscore_bwd(fmt_m, fmt_u, quantized, score_mod, grad_quantized, res, g):
     m, u = res
+    if quantized and grad_quantized:
+        # EN_GRAD_QUANT backward (cuda_dot_mat_vec_bwd f_fixed=true,
+        # lib/layer_cuda.cu:2603-2609): per-product requant at
+        # (fmt_m, fmt_m) — CUDA_FIXED_MUL requants to the FIRST operand's
+        # format, and both operands are passed (iwl_m, frac_m) — output
+        # requant at (1, iwl+frac-1)
+        fo = _grad_out_fmt(fmt_m)
+        # grad_M[r, d] = Q(FIXED_MUL(g_r, u_d))   (blockDim 1: one product)
+        dm = float_quant(
+            _qproducts(g[..., :, None], u[..., None, :], fmt_m, fmt_m,
+                       fmt_m), fo)
+        # grad_u[d] = Q(sum_r FIXED_MUL(g_r, M_rd))
+        du = float_quant(
+            jnp.sum(_qproducts(g[..., :, None], m, fmt_m, fmt_m, fmt_m),
+                    axis=-2), fo)
+        return dm, du
     # float grads on raw tensors (cuda_dot_mat_vec_bwd non-trans branch,
     # lib/layer_cuda.cu:2597-2609): grad_M = g (x) u ; grad_u = M^T g
     dm = g[..., :, None] * u[..., None, :]
@@ -493,7 +546,7 @@ def _qps_fwd(m, u, fmt_m, fmt_u, quantized):
 
 
 def _qps_bwd(fmt_m, fmt_u, quantized, res, g):
-    return _qscore_bwd(fmt_m, fmt_u, quantized, "none", res, g)
+    return _qscore_bwd(fmt_m, fmt_u, quantized, "none", False, res, g)
 
 
 qscore_partial_sum.defvjp(_qps_fwd, _qps_bwd)
@@ -503,9 +556,10 @@ qscore_partial_sum.defvjp(_qps_fwd, _qps_bwd)
 # qweighted_sum: o = C^T p  (memory read; lib/layer_cuda.cu:2430, :547-635)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def qweighted_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
-                  fmt: QFormat, quantized: bool = True) -> jax.Array:
+                  fmt: QFormat, quantized: bool = True,
+                  grad_quantized: bool = False) -> jax.Array:
     """Weighted memory sum: c [..., M, D] x p [..., M] -> [..., D].
 
     The reference's f_trans dot_mat_vec: a single Q-format for both
@@ -519,6 +573,12 @@ def qweighted_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
     format quantizes 0 to +1, so padded rows would otherwise contribute
     (the reference never materializes padded rows).  Pass all-ones when
     the memory axis is unpadded.
+
+    grad_quantized=True selects the EN_GRAD_QUANT per-backward placement
+    (cuda_dot_mat_vec_bwd f_fixed=true f_trans branch,
+    lib/layer_cuda.cu:2590-2596): quantized backward contractions with
+    outputs at (1, iwl+frac-1); the padded-row mask is applied after, as
+    in the forward (padded rows do not exist in the reference).
     """
     return _qweighted_sum_impl(c, p, row_mask, fmt, quantized)
 
@@ -533,12 +593,24 @@ def _qweighted_sum_impl(c, p, row_mask, fmt, quantized):
     return float_quant(jnp.sum(prod, axis=-2), fmt)
 
 
-def _qweighted_sum_fwd(c, p, row_mask, fmt, quantized):
+def _qweighted_sum_fwd(c, p, row_mask, fmt, quantized, grad_quantized):
     return _qweighted_sum_impl(c, p, row_mask, fmt, quantized), (c, p, row_mask)
 
 
-def _qweighted_sum_bwd(fmt, quantized, res, g):
+def _qweighted_sum_bwd(fmt, quantized, grad_quantized, res, g):
     c, p, row_mask = res
+    if quantized and grad_quantized:
+        # EN_GRAD_QUANT backward (f_trans branch, f_fixed=true,
+        # lib/layer_cuda.cu:2590-2596): grad_C[r,d] = Q(FIXED_MUL(p_r,g_d))
+        # at (1, iwl+frac-1); grad_p[r] = Q(sum_d FIXED_MUL(C_rd, g_d))
+        fo = _grad_out_fmt(fmt)
+        dc = float_quant(
+            _qproducts(p[..., :, None], g[..., None, :], fmt, fmt, fmt),
+            fo) * row_mask[..., :, None]
+        dp = float_quant(
+            jnp.sum(_qproducts(c, g[..., None, :], fmt, fmt, fmt), axis=-1),
+            fo) * row_mask
+        return dc, dp, jnp.zeros_like(row_mask)
     # float grads on raw tensors (cuda_dot_mat_vec_bwd f_trans branch,
     # lib/layer_cuda.cu:2584-2596): grad_C = p (x) g ; grad_p = C g
     dc = (p * row_mask)[..., :, None] * g[..., None, :]
@@ -573,7 +645,11 @@ def _qwps_fwd(c, p, row_mask, fmt, quantized):
     return qweighted_partial_sum(c, p, row_mask, fmt, quantized), (c, p, row_mask)
 
 
-qweighted_partial_sum.defvjp(_qwps_fwd, _qweighted_sum_bwd)
+def _qwps_bwd(fmt, quantized, res, g):
+    return _qweighted_sum_bwd(fmt, quantized, False, res, g)
+
+
+qweighted_partial_sum.defvjp(_qwps_fwd, _qwps_bwd)
 
 
 # ---------------------------------------------------------------------------

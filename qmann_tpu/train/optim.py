@@ -59,13 +59,16 @@ def sgd_update(params: Params, grads: Params, lr: jax.Array,
     new: Params = {}
     for name, w in params.items():
         g = grads[name]
-        if cfg.en_grad_quant and name not in ("scale",):
-            # EN_GRAD_QUANT capability (define.h:91, undefined in the
-            # shipped build).  The reference would quantize inside each
-            # backward kernel (f_fixed threading, lib/layer.c:551-555);
-            # here the accumulated batch gradient is quantized once at the
-            # weight's format before the update — a documented deviation
-            # of an off-by-default mode.
+        if (cfg.en_grad_quant and cfg.grad_quant_placement == "update"
+                and name not in ("scale",)):
+            # EN_GRAD_QUANT "update" placement: the accumulated batch
+            # gradient quantized once at the weight's format before the
+            # update — the single-point deviation kept for comparison.
+            # The default "backward" placement is the reference's f_fixed
+            # threading (lib/layer.c:551-555), applied inside the ops'
+            # custom VJPs (ops/qlinear.py) with FLOAT weight-grad
+            # accumulation (lib/layer_cuda.cu:3266), so nothing happens
+            # here.
             from qmann_tpu.numerics import float_quant
             fmt = cfg.fmt_ds_ans if name == "W" else cfg.fmt_w[0]
             g = float_quant(g, fmt)
@@ -122,42 +125,68 @@ def zero_null_columns(params: Params, cfg: QmannConfig) -> Params:
 
 def sgd_momentum_update(params, grads, velocity, lr, batch_size, cfg,
                         momentum: float = 0.9):
-    """Momentum SGD — one of the reference's commented-out optimizer
-    alternatives (lib/layer.c:2277-2330), offered as a capability."""
+    """Momentum SGD — the reference's commented-out alternative
+    (lib/layer.c:2322-2330):
+
+        v <- 0.9*v + lr/m * del ;  w <- w + v + lr*lambda*w
+
+    translated to our descent-form grads (del is the ascent form,
+    SURVEY.md 3.3):  v <- 0.9*v + lr/m*g ;  w <- w - v + lr*lambda*w.
+    The lr sits INSIDE the velocity (past grads keep their then-lr) and
+    there is no gradient clipping in this branch — both faithful to the
+    commented code; the +lr*lambda*w weight-GROWTH term is the same quirk
+    sgd_update reproduces (lib/layer_cuda.cu:1807-1815)."""
     import jax
+    lam = jnp.float32(cfg.lambda_)
     new_v = jax.tree.map(
-        lambda v, g: momentum * v + g / batch_size, velocity, grads)
-    scaled = {k: new_v[k] * batch_size for k in grads}  # reuse clip path
-    return sgd_update(params, scaled, lr, batch_size, cfg), new_v
+        lambda v, g: momentum * v + lr / batch_size * g, velocity, grads)
+    new_p = jax.tree.map(lambda w, v: w - v + lr * lam * w, params, new_v)
+    return new_p, new_v
 
 
 def rmsprop_update(params, grads, second_moment, lr, batch_size, cfg,
                    decay: float = 0.9, eps: float = 1e-8):
-    """RMSprop (reference's commented alternative, lib/layer.c:2297-2310)."""
+    """RMSprop — the reference's commented-out alternative
+    (lib/layer.c:2365-2375):
+
+        acc <- 0.9*acc + 0.1*g^2 ;  w <- w + lr/m/sqrt(acc)*g + lr*lambda*w
+
+    on the batch-summed gradient, descent form here.  eps guards the
+    1/sqrt (the commented code divides unguarded — a documented
+    sane-ification)."""
     import jax
     import jax.numpy as jnp
-    g_avg = jax.tree.map(lambda g: g / batch_size, grads)
+    lam = jnp.float32(cfg.lambda_)
     new_m = jax.tree.map(lambda m, g: decay * m + (1 - decay) * g * g,
-                         second_moment, g_avg)
+                         second_moment, grads)
     new_p = jax.tree.map(
-        lambda w, g, m: w - lr * g / (jnp.sqrt(m) + eps),
-        params, g_avg, new_m)
+        lambda w, g, m: (w - lr / batch_size * g / (jnp.sqrt(m) + eps)
+                         + lr * lam * w),
+        params, grads, new_m)
     return new_p, new_m
 
 
-def adamax_update(params, grads, state, lr, batch_size, cfg, t,
+def adamax_update(params, grads, state, lr, batch_size, cfg, t=None,
                   b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
-    """AdaMax (reference's commented alternative, lib/layer.c:2363-2375)."""
+    """AdaMax — the reference's commented-out alternative
+    (lib/layer.c:2277-2318):
+
+        m <- b1*m + (1-b1)*del ;  v <- max(b2*v, |del|)
+        w <- w + lr/(1-b1) * m/v
+
+    on the batch-summed gradient, descent form here.  The reference's
+    denominator is the CONSTANT (1-b1) — not the b1^t bias correction of
+    the published AdaMax — reproduced as-is (t is accepted and ignored
+    for back-compat).  eps guards the division (the commented code
+    divides unguarded)."""
     import jax
     import jax.numpy as jnp
     m, u = state
-    g_avg = jax.tree.map(lambda g: g / batch_size, grads)
-    new_m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, g_avg)
+    new_m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, grads)
     new_u = jax.tree.map(lambda uu, g: jnp.maximum(b2 * uu, jnp.abs(g)),
-                         u, g_avg)
-    corr = 1.0 - b1 ** t
+                         u, grads)
     new_p = jax.tree.map(
-        lambda w, mm, uu: w - lr / corr * mm / (uu + eps),
+        lambda w, mm, uu: w - lr / (1.0 - b1) * mm / (uu + eps),
         params, new_m, new_u)
     return new_p, (new_m, new_u)
 

@@ -291,15 +291,31 @@ def train_task(cfg: QmannConfig, data: TaskData,
 
         if analyzer is not None:
             # EN_SIMILARITY_ANALYSIS (MemN2N/MemN2N.c:1416-1475): dump the
-            # attention softmax inputs/outputs; a 32-sample probe batch
-            # stands in for the reference's full per-sample dump
-            probe = min(32, len(data.valid))
-            out = memn2n.forward(
-                params, jnp.asarray(data.valid.memory[:probe]),
-                jnp.asarray(data.valid.question[:probe]),
-                jnp.asarray(data.valid.mask[:probe]), cfg)
-            analyzer.record(itr, out.scores, out.attention,
-                            data.valid.mask[:probe])
+            # attention softmax inputs/outputs.  similarity_probe_size
+            # bounds the per-epoch dump; 0 dumps the FULL split (the
+            # reference's per-sample fidelity).  Chunks are zero-padded
+            # to one static shape (the eval_split compile discipline) and
+            # the pad rows sliced off before recording.
+            n_valid = len(data.valid)
+            probe = (n_valid if cfg.similarity_probe_size == 0
+                     else min(cfg.similarity_probe_size, n_valid))
+            chunk = min(512, probe) if probe else 0
+            for s in range(0, probe, max(chunk, 1)):
+                e = min(s + chunk, probe)
+
+                def _pad(x):
+                    pad = chunk - (e - s)
+                    if pad <= 0:
+                        return jnp.asarray(x[s:e])
+                    return jnp.asarray(np.concatenate(
+                        [x[s:e], np.zeros((pad,) + x.shape[1:], x.dtype)]))
+
+                out = memn2n.forward(
+                    params, _pad(data.valid.memory),
+                    _pad(data.valid.question), _pad(data.valid.mask), cfg)
+                analyzer.record(itr, out.scores[:, :e - s],
+                                out.attention[:, :e - s],
+                                data.valid.mask[s:e], sample_offset=s)
 
         # best-model tracking (MemN2N/MemN2N.c:2168-2198)
         if err_valid <= err_valid_best and cost_valid <= cost_valid_best:

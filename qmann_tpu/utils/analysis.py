@@ -40,10 +40,13 @@ class SimilarityAnalyzer:
                 return lo
         return None
 
-    def record(self, epoch: int, scores, attention, mask) -> None:
+    def record(self, epoch: int, scores, attention, mask,
+               sample_offset: int = 0) -> None:
         """scores/attention: [K, B, M]; mask: [B, M].  One CSV row per
         (sample, hop) with only the live memory rows, matching the
-        reference's per-sample dump (MemN2N/MemN2N.c:1416-1475)."""
+        reference's per-sample dump (MemN2N/MemN2N.c:1416-1475).
+        sample_offset shifts the recorded sample indices so a chunked
+        full-split dump keeps global sample numbering."""
         lo = self._bucket(epoch)
         if lo is None:
             return
@@ -58,5 +61,5 @@ class SimilarityAnalyzer:
                 for h in range(k):
                     row_i = ",".join(f"{v:f}" for v in scores[h, bi][live])
                     row_o = ",".join(f"{v:f}" for v in attention[h, bi][live])
-                    fi.write(f"{epoch},{bi},{h},{row_i}\n")
-                    fo.write(f"{epoch},{bi},{h},{row_o}\n")
+                    fi.write(f"{epoch},{sample_offset + bi},{h},{row_i}\n")
+                    fo.write(f"{epoch},{sample_offset + bi},{h},{row_o}\n")

@@ -548,3 +548,107 @@ def test_qembed_mat_multi_matches_single(rng):
     for out, w, fmt in zip(outs_b, weights, fmts_b):
         ref = qembed_mat(s, w, fmt, integer_inputs=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# EN_GRAD_QUANT per-backward placement (f_fixed threading,
+# lib/layer.c:551-555; cuda_dot_mat_vec_bwd f_fixed=true branches)
+# ---------------------------------------------------------------------------
+
+def _gq_fmt(iwl, frac):
+    """The reference's backward output format (1, iwl+frac-1)."""
+    return 1, iwl + frac - 1
+
+
+def test_qscore_grad_quantized_matches_kernel_semantics(rng):
+    """cuda_dot_mat_vec_bwd non-trans f_fixed=true
+    (lib/layer_cuda.cu:2603-2609): grad_M[r,d] = Q(FIXED_MUL(g_r, u_d))
+    and grad_u[d] = Q(sum_r FIXED_MUL(g_r, M_rd)), products at
+    (iwl_m, frac_m), outputs at (1, iwl+frac-1)."""
+    from qmann_tpu.ops import qscore
+    fmt = QFormat(5, 2)
+    oi, of = _gq_fmt(5, 2)
+    M, D = 6, 5
+    m = rng.normal(0, 2, (M, D)).astype(np.float32)
+    u = rng.normal(0, 2, (D,)).astype(np.float32)
+    g = rng.normal(0, 1, (M,)).astype(np.float32)
+
+    def f(m_, u_):
+        return jnp.sum(qscore(m_, u_, fmt, fmt, True, "none", True)
+                       * jnp.asarray(g))
+
+    dm, du = jax.grad(f, argnums=(0, 1))(jnp.asarray(m), jnp.asarray(u))
+
+    def qq(x):
+        return oracle_quant(np.float32(x), 5, 2)
+
+    want_dm = np.zeros((M, D), np.float32)
+    want_du = np.zeros(D, np.float32)
+    for r in range(M):
+        for d in range(D):
+            prod = qq(np.float32(qq(g[r]) * qq(u[d])))
+            want_dm[r, d] = oracle_quant(prod, oi, of)
+    for d in range(D):
+        s = np.float32(0.0)
+        for r in range(M):
+            s += qq(np.float32(qq(g[r]) * qq(m[r, d])))
+        want_du[d] = oracle_quant(s, oi, of)
+    np.testing.assert_array_equal(np.asarray(dm), want_dm)
+    np.testing.assert_array_equal(np.asarray(du), want_du)
+
+
+def test_qweighted_sum_grad_quantized_matches_kernel_semantics(rng):
+    """cuda_dot_mat_vec_bwd f_trans f_fixed=true
+    (lib/layer_cuda.cu:2590-2596): grad_C[r,d] = Q(FIXED_MUL(p_r, g_d)),
+    grad_p[r] = Q(sum_d FIXED_MUL(C_rd, g_d))."""
+    from qmann_tpu.ops import qweighted_sum
+    fmt = QFormat(5, 2)
+    oi, of = _gq_fmt(5, 2)
+    M, D = 6, 5
+    c = rng.normal(0, 2, (M, D)).astype(np.float32)
+    p = rng.random((M,)).astype(np.float32)
+    g = rng.normal(0, 1, (D,)).astype(np.float32)
+    ones = jnp.ones((M,), jnp.float32)
+
+    def f(c_, p_):
+        return jnp.sum(qweighted_sum(c_, p_, ones, fmt, True, True)
+                       * jnp.asarray(g))
+
+    dc, dp = jax.grad(f, argnums=(0, 1))(jnp.asarray(c), jnp.asarray(p))
+
+    def qq(x):
+        return oracle_quant(np.float32(x), 5, 2)
+
+    want_dc = np.zeros((M, D), np.float32)
+    want_dp = np.zeros(M, np.float32)
+    for r in range(M):
+        for d in range(D):
+            want_dc[r, d] = oracle_quant(
+                qq(np.float32(qq(p[r]) * qq(g[d]))), oi, of)
+        s = np.float32(0.0)
+        for d in range(D):
+            s += qq(np.float32(qq(c[r, d]) * qq(g[d])))
+        want_dp[r] = oracle_quant(s, oi, of)
+    np.testing.assert_array_equal(np.asarray(dc), want_dc)
+    np.testing.assert_array_equal(np.asarray(dp), want_dp)
+
+
+def test_qmatvec_grad_quantized_weight_grads_stay_float(rng):
+    """cuda_dense_bwd under EN_GRAD_QUANT: the w-del accumulation runs
+    f_fixed=false (lib/layer_cuda.cu:3266) and the saturation grad mask
+    cannot fire on quantized outputs — dense gradients are unchanged."""
+    from qmann_tpu.ops import qmatvec
+    fmt = QFormat(5, 2)
+    w = jnp.asarray(rng.normal(0, 1.5, (7, 9)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1.5, (4, 9)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1, (4, 7)).astype(np.float32))
+
+    def f(gq):
+        def h(w_, x_):
+            return jnp.sum(qmatvec(w_, x_, fmt, fmt, True, "jnp", False, gq)
+                           * g)
+        return jax.grad(h, argnums=(0, 1))(w, x)
+
+    (dw0, dx0), (dw1, dx1) = f(False), f(True)
+    np.testing.assert_array_equal(np.asarray(dw0), np.asarray(dw1))
+    np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
