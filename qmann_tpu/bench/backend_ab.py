@@ -124,6 +124,10 @@ def main(argv=None) -> int:
         return infer_scan
 
     names = [v.strip() for v in args.variants.split(",") if v.strip()]
+    if "hamming" in names and args.attention_mode != 3:
+        p.error("--variants hamming is mode-3 only (use_pallas_hamming is "
+                "a no-op elsewhere; the A/B would compare identical "
+                "programs)")
     ref_preds = None
     rows = []
     for name in names:

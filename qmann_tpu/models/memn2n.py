@@ -131,14 +131,12 @@ def forward(params: Params, memory: jax.Array, question: jax.Array,
     # (sample.c:546-547)
     q_integer = not cfg.en_pe and cfg.en_integer_fast_path
 
-    gq = (cfg.en_grad_quant and cfg.grad_quant_placement == "backward"
-          and cfg.en_fixed_point)
-
     # u = B q  (emb_q: dense with in/w formats both fmt_w[0],
-    # MemN2N/MemN2N.c:823)
+    # MemN2N/MemN2N.c:823; dense backwards are float under every
+    # EN_GRAD_QUANT placement — see qlinear.qmatvec's note)
     u = qmatvec(_query_weight(params, cfg), question,
                 fmt_w[0], fmt_w[0], quantized=q, backend=backend,
-                integer_inputs=q_integer, grad_quantized=gq)
+                integer_inputs=q_integer)
 
     # All 2K memory embeddings (A and C per hop, per-hop formats under
     # EN_MQ) in ONE stacked MXU matmul — the reference runs 2K sequential
@@ -166,6 +164,16 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     K = cfg.num_hops
     gq = (cfg.en_grad_quant and cfg.grad_quant_placement == "backward"
           and cfg.en_fixed_point)
+    # dot_mat_vec family (score + weighted sum) quantization follows the
+    # layer's ATTENTION-MODE dispatch, not EN_FIXED_POINT — the reference
+    # fwd hardcodes f_fixed per mode (lib/layer.c:177-251: mode 1 passes
+    # false, mode 2 passes true, mode 3 passes the layer flag), and the
+    # mode-3 w_sum BACKWARD quantizes whenever the layer is fixed,
+    # independent of EN_GRAD_QUANT (cuda_dot_mat_vec_bwd_appx receives
+    # dot->f_fixed unconditionally, lib/layer.c:588-599).  Mode 4 has no
+    # live reference path; it keeps the layer flag.
+    wsum_q = {1: False, 2: True, 3: q, 4: q}[cfg.attention_mode]
+    wsum_gq = q if cfg.attention_mode == 3 else gq
 
     # the Pallas fused read covers the plain mode-1/2/3 hop chain; feature
     # heads (scale/maxout/cosine), softmax variants, linear-start, and the
@@ -197,7 +205,8 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
             o, p, scores = fused_attention_read(
                 m, c, u, mask_f, fmt_att[h], cfg.fmt_bin, fmt_act[h],
                 score_quantized=(cfg.attention_mode == 2),
-                sum_quantized=q,
+                sum_quantized=wsum_q,
+                sum_grad_quantized=wsum_gq,
                 attention_mode=cfg.attention_mode,
                 ham_num_bit=cfg.num_bits_attention,
                 ham_const_scale=cfg.attention_const_scale,
@@ -210,7 +219,7 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
                 u_mapped = u
             u = qsum(u_mapped, o, fmt_act[h], quantized=q)
             if cfg.en_non_linearity:
-                u = activation(u, "RELU", fmt_act[h], q)
+                u = activation(u, "RELU", fmt_act[h], q, grad_quantized=gq)
             attn.append(p)
             scores_all.append(scores)
             continue
@@ -244,19 +253,19 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
                               shift_based=cfg.en_shift_based_sm,
                               use_exp_plan=cfg.en_exp_table_based,
                               remove=remove_softmax)           # [B, M]
-        o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=q,
-                          grad_quantized=gq)                   # [B, D]
+        o = qweighted_sum(c, p, mask_f, fmt_act[h], quantized=wsum_q,
+                          grad_quantized=wsum_gq)              # [B, D]
 
         if cfg.en_linear_mapping:
             # lin_map: dense(D->D) with in fmt_bin / w fmt_w[h]
             # (MemN2N/MemN2N.c:860)
             u_mapped = qmatvec(h_w, u, fmt_w[h], cfg.fmt_bin, quantized=q,
-                               backend=backend, grad_quantized=gq)
+                               backend=backend)
         else:
             u_mapped = u
         u = qsum(u_mapped, o, fmt_act[h], quantized=q)         # [B, D]
         if cfg.en_non_linearity:
-            u = activation(u, "RELU", fmt_act[h], q)
+            u = activation(u, "RELU", fmt_act[h], q, grad_quantized=gq)
         attn.append(p)
         scores_all.append(scores)
 

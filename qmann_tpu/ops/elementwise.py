@@ -43,14 +43,17 @@ qsum.defvjp(_qsum_fwd, _qsum_bwd)
 # activation layer (lib/layer.h:607-655; kernels lib/layer_cuda.cu:1664-1731)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def activation(x: jax.Array, kind: str, fmt: Optional[QFormat],
-               quantized: bool = False) -> jax.Array:
-    """'NULL' (bypass), 'SIGMOID', 'RELU'.  When quantized, the output is
-    re-quantized (and so is the backward gradient — the activation kernels
-    are the one place the reference quantizes a gradient when f_fixed is
-    set, _cuda_sigmoid_bwd/_cuda_relu_bwd lib/layer_cuda.cu:1705-1731;
-    in the live model activations run with the dense layer's f_fixed)."""
+               quantized: bool = False,
+               grad_quantized: bool = False) -> jax.Array:
+    """'NULL' (bypass), 'SIGMOID', 'RELU'.  When quantized, the OUTPUT is
+    re-quantized (the fwd kernels use the layer's f_fixed directly).  The
+    backward gradient is quantized only under grad_quantized — the
+    reference threads f_fixed into activation_bwd under #ifdef
+    EN_GRAD_QUANT (lib/layer.c:4280-4288), so without EN_GRAD_QUANT the
+    relu/sigmoid derivative stays float even in a fixed-point run
+    (_cuda_sigmoid_bwd/_cuda_relu_bwd, lib/layer_cuda.cu:1705-1731)."""
     return _activation_impl(x, kind, fmt, quantized)
 
 
@@ -68,19 +71,19 @@ def _activation_impl(x, kind, fmt, quantized):
     return out
 
 
-def _activation_fwd(x, kind, fmt, quantized):
+def _activation_fwd(x, kind, fmt, quantized, grad_quantized):
     out = _activation_impl(x, kind, fmt, quantized)
     return out, out
 
 
-def _activation_bwd(kind, fmt, quantized, out, g):
+def _activation_bwd(kind, fmt, quantized, grad_quantized, out, g):
     if kind == "SIGMOID":
         dg = g * out * (1.0 - out)   # sigmoid_deriv on the OUTPUT
     elif kind == "RELU":
         dg = jnp.where(out > 0.0, g, 0.0)
     else:
         dg = g
-    if quantized and fmt is not None and kind in ("SIGMOID", "RELU"):
+    if grad_quantized and fmt is not None and kind in ("SIGMOID", "RELU"):
         dg = float_quant(dg, fmt)
     return (dg,)
 

@@ -26,7 +26,8 @@ from qmann_tpu.numerics import QFormat
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                                    16))
 def fused_attention_read(m: jax.Array, c: jax.Array, u: jax.Array,
                          mask_f: jax.Array, fmt_att: QFormat,
                          fmt_bin: QFormat, fmt_act: QFormat,
@@ -38,14 +39,18 @@ def fused_attention_read(m: jax.Array, c: jax.Array, u: jax.Array,
                          ham_num_bit: int = 8,
                          ham_const_scale: int = -3,
                          ham_weight_para: int = 0,
-                         ham_weighted: bool = True):
+                         ham_weighted: bool = True,
+                         sum_grad_quantized: bool = False):
     """m, c: [B, M, D]; u: [B, D]; mask_f: [B, M] float (1 live/0 pad)
     -> (o [B, D], p [B, M], scores [B, M]).
 
     Bit-identical to attention_score(mode 1/2/3) -> apply_softmax ->
     qweighted_sum; scores are returned raw (pre-mask), as the unfused
     path reports them.  attention_mode=3 runs the Hamming bit-lattice at
-    the full-width format (fmt_att.iwl, 31-iwl) with the ham_* knobs."""
+    the full-width format (fmt_att.iwl, 31-iwl) with the ham_* knobs.
+    sum_grad_quantized selects qweighted_sum's quantized backward
+    contractions (mandatory for fixed-point mode 3, where the reference
+    passes f_fixed unconditionally — lib/layer.c:588-599)."""
     return _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
                            score_quantized, sum_quantized, batch_tile,
                            interpret, attention_mode, ham_num_bit,
@@ -71,7 +76,7 @@ def _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
 def _fused_fwd(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
                score_quantized, sum_quantized, batch_tile, interpret,
                attention_mode, ham_num_bit, ham_const_scale,
-               ham_weight_para, ham_weighted):
+               ham_weight_para, ham_weighted, sum_grad_quantized):
     o, p, scores = _fused_fwd_impl(m, c, u, mask_f, fmt_att, fmt_bin,
                                    fmt_act, score_quantized, sum_quantized,
                                    batch_tile, interpret, attention_mode,
@@ -82,16 +87,32 @@ def _fused_fwd(m, c, u, mask_f, fmt_att, fmt_bin, fmt_act,
 
 def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
                batch_tile, interpret, attention_mode, ham_num_bit,
-               ham_const_scale, ham_weight_para, ham_weighted, res, cts):
+               ham_const_scale, ham_weight_para, ham_weighted,
+               sum_grad_quantized, res, cts):
     m, c, u, mask_f, p = res
     do, dp_in, ds_in = cts
-    pm = p * mask_f
-    # qweighted_sum bwd (cuda_dot_mat_vec_bwd f_trans branch,
-    # lib/layer_cuda.cu:2584-2596)
-    dc = pm[..., :, None] * do[..., None, :]
-    dp = jnp.einsum("...md,...d->...m", c, do,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) * mask_f
+    if sum_grad_quantized:
+        # quantized weighted-sum backward (mode-3 f_fixed / EN_GRAD_QUANT
+        # — cuda_dot_mat_vec_bwd[_appx] f_trans f_fixed=true,
+        # lib/layer_cuda.cu:2590-2596, :2691-2704): identical to
+        # qlinear._qweighted_sum_bwd's quantized path
+        from qmann_tpu.numerics import float_quant
+        from qmann_tpu.ops.qlinear import _grad_out_fmt, _qproducts
+        fo = _grad_out_fmt(fmt_act)
+        dc = float_quant(
+            _qproducts(p[..., :, None], do[..., None, :], fmt_act, fmt_act,
+                       fmt_act), fo) * mask_f[..., :, None]
+        dp = float_quant(
+            jnp.sum(_qproducts(c, do[..., None, :], fmt_act, fmt_act,
+                               fmt_act), axis=-1), fo) * mask_f
+    else:
+        # qweighted_sum bwd (cuda_dot_mat_vec_bwd f_trans branch,
+        # lib/layer_cuda.cu:2584-2596)
+        pm = p * mask_f
+        dc = pm[..., :, None] * do[..., None, :]
+        dp = jnp.einsum("...md,...d->...m", c, do,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * mask_f
     dp = dp + dp_in
     # softmax bwd p*(g - sum(p*g)) (_cuda_softmax_bwd,
     # lib/layer_cuda.cu:2130-2147); padded entries have p == 0

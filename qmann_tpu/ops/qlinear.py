@@ -101,11 +101,10 @@ def _mxu_matmul(x, wq_t, exact_bf16: bool):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
             quantized: bool = True, backend: str = "jnp",
-            integer_inputs: bool = False,
-            grad_quantized: bool = False) -> jax.Array:
+            integer_inputs: bool = False) -> jax.Array:
     """Quantized matrix-vector product: out[...,o] = Q(sum_i Q(Q(w)Q(x)))
 
     w: [O, I]; x: [..., I] -> [..., O].
@@ -130,15 +129,14 @@ def qmatvec(w: jax.Array, x: jax.Array, fmt_w: QFormat, fmt_x: QFormat,
     reference's "_cuda_l1_norm" sums the raw weights (no abs),
     lib/layer_cuda.cu:1624-1650 — reproduced as-is.
 
-    grad_quantized=True selects the EN_GRAD_QUANT per-backward placement
-    for dense layers (cuda_dense_bwd f_fixed=true): the weight-gradient
-    accumulation stays FLOAT (the accum kernel is invoked with f_fixed
-    hardcoded false, lib/layer_cuda.cu:3266) and the only fixed-point
-    effect is _cuda_grad_mask_fixed (:3273, kernel :1734-1741) — zero the
-    incoming gradient where the forward OUTPUT strictly exceeds the
-    (iwl_in, frac_in) bounds — applied AFTER the weight-grad accum and
-    BEFORE grad_out.  (On quantized outputs the strict compare can never
-    fire — saturation clamps TO the bound — reproduced faithfully.)
+    EN_GRAD_QUANT note: dense layers have NO live fixed-point backward
+    effect in the reference — cuda_dense_bwd invokes the w-del accum with
+    f_fixed hardcoded false (lib/layer_cuda.cu:3266), the grad_out matmul
+    with f_fixed false (:3284), and the _cuda_grad_mask_fixed saturation
+    mask is commented out ('test_170410' block, :3269-3281); only the
+    sigmoid/relu activation derivative would quantize, and the model's
+    dense layers all run activation "NULL".  So qmatvec's backward is
+    float under every placement.
     """
     return _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
                              integer_inputs)
@@ -201,28 +199,18 @@ def _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend="jnp",
     return out
 
 
-def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend, integer_inputs,
-                 grad_quantized):
-    out = _qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
-                            integer_inputs)
-    # the forward output is saved only for the EN_GRAD_QUANT saturation
-    # mask (it is the next layer's input and alive anyway)
-    res = (w, x, out if (quantized and grad_quantized) else None)
-    return out, res
+def _qmatvec_fwd(w, x, fmt_w, fmt_x, quantized, backend, integer_inputs):
+    return (_qmatvec_fwd_impl(w, x, fmt_w, fmt_x, quantized, backend,
+                              integer_inputs), (w, x))
 
 
-def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs,
-                 grad_quantized, res, g):
-    w, x, out = res
+def _qmatvec_bwd(fmt_w, fmt_x, quantized, backend, integer_inputs, res, g):
+    w, x = res
     # raw-float gradients (cuda_dense_bwd, lib/layer_cuda.cu:3266,3284):
-    #   w_del += g (x)^T ; grad_x = W^T g
+    #   w_del += g (x)^T ; grad_x = W^T g  (float under EVERY placement —
+    #   see the EN_GRAD_QUANT note in the op docstring)
     dw = jnp.einsum("...o,...i->oi", g, x, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    if quantized and grad_quantized:
-        # _cuda_grad_mask_fixed (lib/layer_cuda.cu:1734-1741) at
-        # (iwl_in, frac_in), after the w-del accum, before grad_out
-        maxf = fixed_max_float(fmt_x.iwl, fmt_x.frac)
-        g = jnp.where((out > maxf) | (out < -maxf), 0.0, g)
     dx = jnp.einsum("oi,...o->...i", w, g, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     return dw, dx
@@ -497,7 +485,12 @@ def _qscore_fwd(m, u, fmt_m, fmt_u, quantized, score_mod, grad_quantized):
 
 def _qscore_bwd(fmt_m, fmt_u, quantized, score_mod, grad_quantized, res, g):
     m, u = res
-    if quantized and grad_quantized:
+    # NB the gate is grad_quantized ALONE: the reference's bwd f_fixed is
+    # the layer's constructor flag (EN_FIXED_POINT), independent of the
+    # forward dispatch's hardcoded f_fixed (mode 1 runs a FLOAT forward
+    # but its EN_GRAD_QUANT backward still quantizes when the layer is
+    # fixed — lib/layer.c:539-562 vs :177-196)
+    if grad_quantized:
         # EN_GRAD_QUANT backward (cuda_dot_mat_vec_bwd f_fixed=true,
         # lib/layer_cuda.cu:2603-2609): per-product requant at
         # (fmt_m, fmt_m) — CUDA_FIXED_MUL requants to the FIRST operand's
@@ -599,7 +592,14 @@ def _qweighted_sum_fwd(c, p, row_mask, fmt, quantized, grad_quantized):
 
 def _qweighted_sum_bwd(fmt, quantized, grad_quantized, res, g):
     c, p, row_mask = res
-    if quantized and grad_quantized:
+    # gate on grad_quantized alone — see _qscore_bwd's note; additionally
+    # the MODE-3 weighted sum quantizes its backward whenever the layer
+    # is fixed, independent of EN_GRAD_QUANT (cuda_dot_mat_vec_bwd_appx
+    # receives dot->f_fixed unconditionally, lib/layer.c:588-599, and its
+    # f_trans branch runs the quantized contractions,
+    # lib/layer_cuda.cu:2691-2704) — the model passes grad_quantized
+    # accordingly (models/memn2n.py)
+    if grad_quantized:
         # EN_GRAD_QUANT backward (f_trans branch, f_fixed=true,
         # lib/layer_cuda.cu:2590-2596): grad_C[r,d] = Q(FIXED_MUL(p_r,g_d))
         # at (1, iwl+frac-1); grad_p[r] = Q(sum_d FIXED_MUL(C_rd, g_d))

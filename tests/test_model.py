@@ -74,6 +74,70 @@ def test_hamming_weight_para_reaches_forward(rng):
     assert not np.array_equal(s0, s2)
 
 
+def test_mode3_grads_independent_of_en_grad_quant(rng):
+    """Mode-3's fixed-point weighted-sum backward quantizes
+    UNCONDITIONALLY (cuda_dot_mat_vec_bwd_appx receives dot->f_fixed with
+    no EN_GRAD_QUANT gate, lib/layer.c:588-599), the score backward is
+    the surrogate, and dense backwards are float under every placement —
+    so for the default model, EN_GRAD_QUANT must change NOTHING in
+    mode 3.  (In mode 2 it must change the gradients.)"""
+    dims = fake_dims()
+    mem, que, ans, mask = fake_batch(rng)
+
+    def grads(cfg):
+        params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+        def loss(p):
+            l, _ = memn2n.loss_and_metrics(p, mem, que, ans, mask, None,
+                                           cfg)
+            return l
+        return {k: np.asarray(v)
+                for k, v in jax.grad(loss)(params).items()}
+
+    m3 = tiny_cfg(attention_mode=3)
+    g0 = grads(m3)
+    g1 = grads(m3.replace(en_grad_quant=True))
+    for k in g0:
+        np.testing.assert_array_equal(g0[k], g1[k], err_msg=k)
+    m2 = tiny_cfg(attention_mode=2)
+    g2 = grads(m2)
+    g3 = grads(m2.replace(en_grad_quant=True))
+    assert any(not np.array_equal(g2[k], g3[k]) for k in g2)
+
+
+def test_mode1_wsum_runs_float_forward(rng):
+    """Mode-1 dot_mat_vec layers (score AND weighted sum) run FLOAT
+    forwards regardless of EN_FIXED_POINT — the reference fwd dispatch
+    hardcodes f_fixed=false for mode 1 (lib/layer.c:188) — while the
+    dense/embedding layers stay quantized.  Changing en_fixed_point in
+    mode 1 must still change logits (embeddings quantize) but the
+    attention probabilities must match a float-weighted-sum composition."""
+    from qmann_tpu.ops import softmax, qweighted_sum, qscore
+    dims = fake_dims()
+    mem, que, ans, mask = fake_batch(rng)
+    cfg = tiny_cfg(attention_mode=1, num_hops=1, en_linear_mapping=False)
+    params = memn2n.init_params(cfg, dims, jax.random.PRNGKey(0))
+    params = {k: v * 6.0 for k, v in params.items()}
+    out = memn2n.forward(params, mem, que, mask, cfg)
+    # recompute hop 0 by hand with a FLOAT weighted sum
+    from qmann_tpu.ops import qmatvec, qembed_mat
+    u = qmatvec(params["B"], que, cfg.fmt_w[0], cfg.fmt_w[0],
+                quantized=True, integer_inputs=True)
+    m_e = qembed_mat(mem, params["A"], cfg.fmt_w[0], quantized=True,
+                     integer_inputs=True)
+    c_e = qembed_mat(mem, params["C"], cfg.fmt_w[0], quantized=True,
+                     integer_inputs=True)
+    s = qscore(m_e, u, cfg.fmt_att[0], cfg.fmt_bin, quantized=False)
+    p = softmax(s, mask)
+    o = qweighted_sum(c_e, p, mask.astype(jnp.float32), cfg.fmt_act[0],
+                      quantized=False)
+    from qmann_tpu.ops import qsum
+    u1 = qsum(u, o, cfg.fmt_act[0], quantized=True)
+    logits = qmatvec(params["W"], u1, cfg.fmt_ds_ans, cfg.fmt_ds_ans,
+                     quantized=False)
+    np.testing.assert_array_equal(np.asarray(out.logits),
+                                  np.asarray(logits))
+
+
 def test_forward_adjacent_tying_shapes(rng):
     cfg = tiny_cfg(type_weight_tying=1)
     dims = fake_dims()

@@ -633,22 +633,33 @@ def test_qweighted_sum_grad_quantized_matches_kernel_semantics(rng):
     np.testing.assert_array_equal(np.asarray(dp), want_dp)
 
 
-def test_qmatvec_grad_quantized_weight_grads_stay_float(rng):
-    """cuda_dense_bwd under EN_GRAD_QUANT: the w-del accumulation runs
-    f_fixed=false (lib/layer_cuda.cu:3266) and the saturation grad mask
-    cannot fire on quantized outputs — dense gradients are unchanged."""
-    from qmann_tpu.ops import qmatvec
+def test_grad_gate_independent_of_forward_quantization(rng):
+    """The backward gate is grad_quantized ALONE: the reference's mode-1
+    layers run a FLOAT forward (f_fixed hardcoded false in the fwd
+    dispatch, lib/layer.c:188) but their EN_GRAD_QUANT backward still
+    quantizes when the layer is fixed (bwd passes dot->f_fixed,
+    lib/layer.c:551-555)."""
+    from qmann_tpu.ops import qscore, qweighted_sum
     fmt = QFormat(5, 2)
-    w = jnp.asarray(rng.normal(0, 1.5, (7, 9)).astype(np.float32))
-    x = jnp.asarray(rng.normal(0, 1.5, (4, 9)).astype(np.float32))
-    g = jnp.asarray(rng.normal(0, 1, (4, 7)).astype(np.float32))
+    oi, of = _gq_fmt(5, 2)
+    M, D = 5, 4
+    m = rng.normal(0, 2, (M, D)).astype(np.float32)
+    u = rng.normal(0, 2, (D,)).astype(np.float32)
+    g = rng.normal(0, 1, (M,)).astype(np.float32)
 
-    def f(gq):
-        def h(w_, x_):
-            return jnp.sum(qmatvec(w_, x_, fmt, fmt, True, "jnp", False, gq)
-                           * g)
-        return jax.grad(h, argnums=(0, 1))(w, x)
+    def f(m_, u_):
+        # quantized=False (mode-1 float fwd) + grad_quantized=True
+        return jnp.sum(qscore(m_, u_, fmt, fmt, False, "none", True)
+                       * jnp.asarray(g))
 
-    (dw0, dx0), (dw1, dx1) = f(False), f(True)
-    np.testing.assert_array_equal(np.asarray(dw0), np.asarray(dw1))
-    np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
+    dm, _ = jax.grad(f, argnums=(0, 1))(jnp.asarray(m), jnp.asarray(u))
+
+    def qq(x):
+        return oracle_quant(np.float32(x), 5, 2)
+
+    want_dm = np.zeros((M, D), np.float32)
+    for r in range(M):
+        for d in range(D):
+            want_dm[r, d] = oracle_quant(
+                qq(np.float32(qq(g[r]) * qq(u[d]))), oi, of)
+    np.testing.assert_array_equal(np.asarray(dm), want_dm)
