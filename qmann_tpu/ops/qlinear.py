@@ -623,15 +623,18 @@ def _qweighted_sum_bwd(fmt, quantized, grad_quantized, res, g):
 qweighted_sum.defvjp(_qweighted_sum_fwd, _qweighted_sum_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def qweighted_partial_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
-                          fmt: QFormat, quantized: bool = True) -> jax.Array:
+                          fmt: QFormat, quantized: bool = True,
+                          grad_quantized: bool = False) -> jax.Array:
     """qweighted_sum WITHOUT the final output re-quantization — the local
     building block for memory-bank-sharded execution: each device sums its
     shard's quantized products (exact on the 2^-frac grid), the shards are
     psum'd across ICI, and the single output quantization is applied
-    globally (parallel/distributed.py).  Same raw-float backward as
-    qweighted_sum."""
+    globally (parallel/distributed.py).  Same backward family as
+    qweighted_sum; the quantized backward (mode-3 f_fixed rule) is fully
+    shard-local — dc is elementwise per memory row and dp reduces over
+    the unsharded D axis — so it composes with the psum unchanged."""
     if not quantized:
         return jnp.einsum("...md,...m->...d", c, p * row_mask,
                           preferred_element_type=jnp.float32,
@@ -641,12 +644,13 @@ def qweighted_partial_sum(c: jax.Array, p: jax.Array, row_mask: jax.Array,
     return jnp.sum(prod, axis=-2)
 
 
-def _qwps_fwd(c, p, row_mask, fmt, quantized):
-    return qweighted_partial_sum(c, p, row_mask, fmt, quantized), (c, p, row_mask)
+def _qwps_fwd(c, p, row_mask, fmt, quantized, grad_quantized):
+    return (qweighted_partial_sum(c, p, row_mask, fmt, quantized,
+                                  grad_quantized), (c, p, row_mask))
 
 
-def _qwps_bwd(fmt, quantized, res, g):
-    return _qweighted_sum_bwd(fmt, quantized, False, res, g)
+def _qwps_bwd(fmt, quantized, grad_quantized, res, g):
+    return _qweighted_sum_bwd(fmt, quantized, grad_quantized, res, g)
 
 
 qweighted_partial_sum.defvjp(_qwps_fwd, _qwps_bwd)

@@ -93,7 +93,9 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
         scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
                                    cfg.fmt_bin,
                                    num_bit=cfg.num_bits_attention,
-                                   const_scale=cfg.attention_const_scale)
+                                   const_scale=cfg.attention_const_scale,
+                                   hamming_weight_para=cfg.hamming_weight_para,
+                                   hamming_weighted=cfg.hamming_weighted)
     scores_l = jnp.where(mask_l, scores_l, _NEG_LARGE)
 
     # distributed softmax statistics: one max + one sum per row over ICI.
@@ -107,14 +109,22 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
     total = jnp.where(total == 0.0, 1.0, total)
     p_l = e / _vary(total, axis)[..., None]
 
-    # quantized weighted sum: local partials on the exact 2^-frac grid,
-    # psum, single global output re-quantization (straight-through grad —
-    # the reference backward never quantizes, lib/layer.c:551-555)
+    # weighted sum: local partials on the exact 2^-frac grid, psum,
+    # single global output re-quantization.  Forward quantization follows
+    # the layer's attention-mode dispatch (mode 1 float, mode 2 quantized
+    # — f_fixed hardcoded per mode in the reference fwd,
+    # lib/layer.c:177-251); the mode-3 BACKWARD quantizes whenever the
+    # layer is fixed (dot->f_fixed passed unconditionally,
+    # lib/layer.c:588-599) and is fully shard-local (see
+    # qweighted_partial_sum).
+    wsum_q = {1: False, 2: True}.get(cfg.attention_mode,
+                                     cfg.en_fixed_point)
+    wsum_gq = cfg.en_fixed_point and cfg.attention_mode == 3
     partial = qweighted_partial_sum(c_l, p_l,
                                     mask_l.astype(jnp.float32), fmt_act,
-                                    cfg.en_fixed_point)
+                                    wsum_q, wsum_gq)
     o = jax.lax.psum(partial, axis)
-    if cfg.en_fixed_point:
+    if wsum_q:
         o = quantize_ste(o, fmt_act)
     return o, p_l
 

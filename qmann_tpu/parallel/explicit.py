@@ -57,6 +57,10 @@ def _check_supported(cfg: QmannConfig) -> None:
         unsupported.append("sc_att/maxout/cosine attention heads")
     if cfg.en_shift_based_sm or cfg.en_exp_table_based:
         unsupported.append("softmax variants")
+    if cfg.en_grad_quant:
+        unsupported.append("EN_GRAD_QUANT (use the GSPMD step — it "
+                           "partitions the quantized backward "
+                           "contractions automatically)")
     if unsupported:
         raise NotImplementedError(
             "explicit-collective step supports the default wiring; "

@@ -259,3 +259,46 @@ def test_eval_split_mesh_matches_plain(rng):
     np.testing.assert_array_equal(preds0, preds1)
     assert err0 == err1
     np.testing.assert_allclose(cost0, cost1, rtol=1e-6)
+
+
+def test_memory_sharded_attention_mode3_matches_dense(rng):
+    """Mode-3 (Hamming) sharded attention read: forward AND gradients
+    must match the dense composition — including the quantized
+    weighted-sum backward that mode 3 applies whenever the layer is
+    fixed (cuda_dot_mat_vec_bwd_appx, lib/layer.c:588-599)."""
+    from qmann_tpu.ops.attention import hamming_score
+    _requires_8_devices()
+    mesh = make_mesh(8, model_parallelism=4)
+    cfg = QmannConfig(dim_emb=16, verbose=False, attention_mode=3)
+    B, M, D = 4, 8, 16
+    fmt = cfg.fmt_act[0]
+    act = cfg.fmt_att[0]
+    m = np.asarray(jnp.asarray(rng.normal(0, 1.0, (B, M, D)),
+                               jnp.float32))
+    c = rng.normal(0, 1.0, (B, M, D)).astype(np.float32)
+    u = rng.normal(0, 1.0, (B, D)).astype(np.float32)
+    n_sen = rng.integers(2, M + 1, B)
+    mask = np.arange(M)[None, :] < n_sen[:, None]
+    g_out = rng.normal(0, 1.0, (B, D)).astype(np.float32)
+
+    def f_sharded(m_, c_, u_):
+        o, _ = memory_sharded_attention_read(
+            mesh, m_, c_, u_, jnp.asarray(mask), cfg)
+        return jnp.sum(o * jnp.asarray(g_out))
+
+    def f_dense(m_, c_, u_):
+        s = hamming_score(m_, u_, act.iwl, cfg.num_bits_attention,
+                          cfg.attention_const_scale, act.mode)
+        p = softmax(s, jnp.asarray(mask))
+        o = qweighted_sum(c_, p, jnp.asarray(mask, jnp.float32), fmt,
+                          quantized=True, grad_quantized=True)
+        return jnp.sum(o * jnp.asarray(g_out))
+
+    args = (jnp.asarray(m), jnp.asarray(c), jnp.asarray(u))
+    np.testing.assert_allclose(float(f_sharded(*args)),
+                               float(f_dense(*args)), rtol=1e-6)
+    gs = jax.grad(f_sharded, argnums=(0, 1, 2))(*args)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(gs, gd, ("dm", "dc", "du")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
