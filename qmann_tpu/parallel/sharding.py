@@ -129,6 +129,25 @@ def _replicate(mesh: Mesh, v: jax.Array) -> jax.Array:
     return jax.device_put(v, NamedSharding(mesh, P(*([None] * v.ndim))))
 
 
+def infer_specs(mesh: Mesh, batch: int, n_rows: int):
+    """PartitionSpecs for inference inputs — batch over "data", memory
+    rows over "model" (axes that don't divide stay replicated).  The one
+    place the wave/chunk placement rule lives: used by
+    make_sharded_prepared_infer, trainer.eval_split, and the serving
+    engine's sharded waves."""
+    b = axis_if_divisible(mesh, DATA_AXIS, batch)
+    m = axis_if_divisible(mesh, MODEL_AXIS, n_rows)
+    return {"memory": P(b, m, None), "question": P(b, None),
+            "answer": P(b, None), "mask": P(b, m)}
+
+
+def put_infer_inputs(mesh: Mesh, specs, **arrays):
+    """device_put named inference inputs with infer_specs placements."""
+    return {k: jax.device_put(jnp.asarray(v),
+                              NamedSharding(mesh, specs[k]))
+            for k, v in arrays.items()}
+
+
 def shard_prepared(mesh: Mesh, prep):
     """Place a PreparedInference's serving-layout weights on the mesh:
     everything replicated (the whole parameter set is ~100 KB at the
@@ -170,11 +189,10 @@ def make_sharded_prepared_infer(prep, cfg: QmannConfig, mesh: Mesh):
         return met.cost, met.matches, met.pred
 
     def run(memory, question, answer, mask):
-        b = axis_if_divisible(mesh, DATA_AXIS, question.shape[0])
-        m = axis_if_divisible(mesh, MODEL_AXIS, mask.shape[-1])
-        put = lambda v, spec: jax.device_put(jnp.asarray(v),
-                                             NamedSharding(mesh, spec))
-        return infer(put(memory, P(b, m, None)), put(question, P(b, None)),
-                     put(answer, P(b, None)), put(mask, P(b, m)))
+        specs = infer_specs(mesh, question.shape[0], mask.shape[-1])
+        put = put_infer_inputs(mesh, specs, memory=memory,
+                               question=question, answer=answer, mask=mask)
+        return infer(put["memory"], put["question"], put["answer"],
+                     put["mask"])
 
     return run

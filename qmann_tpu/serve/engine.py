@@ -115,19 +115,16 @@ class InferenceEngine:
             self._infer = _infer
         else:
             # sharded waves: batch over "data", memory banks over "model"
-            # (GSPMD partitions the wave forward across the mesh)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-            from qmann_tpu.parallel.sharding import axis_if_divisible
-            b = axis_if_divisible(mesh, DATA_AXIS, batch_size)
-            mrows = axis_if_divisible(mesh, MODEL_AXIS, dims.max_line)
+            # (GSPMD partitions the wave forward across the mesh); the
+            # placement rule is parallel.sharding.infer_specs
+            from qmann_tpu.parallel.sharding import (
+                infer_specs, put_infer_inputs)
+            specs = infer_specs(mesh, batch_size, dims.max_line)
 
             def _infer_sharded(memory, question, mask):
-                put = lambda v, spec: jax.device_put(
-                    v, NamedSharding(mesh, spec))
-                return _infer(put(memory, P(b, mrows, None)),
-                              put(question, P(b, None)),
-                              put(mask, P(b, mrows)))
+                put = put_infer_inputs(mesh, specs, memory=memory,
+                                       question=question, mask=mask)
+                return _infer(put["memory"], put["question"], put["mask"])
 
             self._infer = _infer_sharded
         self._thread = threading.Thread(target=self._loop, daemon=True)

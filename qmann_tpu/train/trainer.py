@@ -142,6 +142,16 @@ def train_epoch(params: Params, batches, lr, cfg: QmannConfig,
     return params, jnp.sum(costs), jnp.sum(matches)
 
 
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad the leading axis to exactly n rows (no-op if already
+    there) — the one compile-discipline padding helper shared by
+    eval_split and the similarity dump."""
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def evaluate(params: Params, memory, question, answer, mask,
              cfg: QmannConfig):
@@ -173,18 +183,12 @@ def eval_split(params: Params, split: VectorizedSplit, cfg: QmannConfig,
     n = len(split)
     costs, matches, preds = 0.0, 0, []
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from qmann_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-        from qmann_tpu.parallel.sharding import axis_if_divisible
-        b = axis_if_divisible(mesh, DATA_AXIS, chunk)
-        mm = axis_if_divisible(mesh, MODEL_AXIS, split.mask.shape[-1])
-        specs = {"memory": P(b, mm, None), "question": P(b, None),
-                 "answer": P(b, None), "mask": P(b, mm)}
+        from jax.sharding import NamedSharding
+        from qmann_tpu.parallel.sharding import infer_specs
+        specs = infer_specs(mesh, chunk, split.mask.shape[-1])
 
     def padded(x, name):
-        pad = chunk - x.shape[0]
-        if pad > 0:
-            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        x = _pad_to(x, chunk)
         if mesh is not None:
             return jax.device_put(jnp.asarray(x),
                                   NamedSharding(mesh, specs[name]))
@@ -304,11 +308,7 @@ def train_task(cfg: QmannConfig, data: TaskData,
                 e = min(s + chunk, probe)
 
                 def _pad(x):
-                    pad = chunk - (e - s)
-                    if pad <= 0:
-                        return jnp.asarray(x[s:e])
-                    return jnp.asarray(np.concatenate(
-                        [x[s:e], np.zeros((pad,) + x.shape[1:], x.dtype)]))
+                    return jnp.asarray(_pad_to(x[s:e], chunk))
 
                 out = memn2n.forward(
                     params, _pad(data.valid.memory),
