@@ -159,6 +159,42 @@ class QmannConfig:
             raise ValueError(
                 f"unknown grad_quant_placement {self.grad_quant_placement!r}")
 
+    # ------------------------------------------------------------------
+    # dot_mat_vec family dispatch — THE single home of the reference's
+    # per-mode quantization rules, shared by models/memn2n._hop_stack and
+    # parallel/distributed._attention_read_local:
+    #   * forward f_fixed is hardcoded per attention mode
+    #     (lib/layer.c:177-251): mode 1 false, mode 2 true, mode 3 the
+    #     layer flag (EN_FIXED_POINT); mode 4 has no live path (keeps the
+    #     layer flag here);
+    #   * the mode-3 weighted-sum BACKWARD quantizes whenever the layer
+    #     is fixed, independent of EN_GRAD_QUANT (bwd_appx receives
+    #     dot->f_fixed unconditionally, lib/layer.c:588-599);
+    #   * modes 1/2 backwards quantize only under EN_GRAD_QUANT with the
+    #     layer fixed (f_fixed threaded at lib/layer.c:551-575).
+    # ------------------------------------------------------------------
+
+    @property
+    def grad_quant_backward(self) -> bool:
+        """True when the EN_GRAD_QUANT per-backward placement is active."""
+        return (self.en_grad_quant
+                and self.grad_quant_placement == "backward"
+                and self.en_fixed_point)
+
+    @property
+    def wsum_quantized(self) -> bool:
+        """Weighted-sum FORWARD quantization per the mode dispatch."""
+        return {1: False, 2: True}.get(self.attention_mode,
+                                       self.en_fixed_point)
+
+    @property
+    def wsum_grad_quantized(self) -> bool:
+        """Weighted-sum BACKWARD quantization: unconditional on f_fixed
+        in mode 3; EN_GRAD_QUANT-gated otherwise."""
+        if self.attention_mode == 3:
+            return self.en_fixed_point
+        return self.grad_quant_backward
+
     @property
     def att_score_mod(self) -> str:
         """score_mod for ops.qscore ("none" unless a mitigation is on)."""

@@ -162,18 +162,11 @@ def _hop_stack(params: Params, cfg: QmannConfig, u: jax.Array,
     fmt_w, fmt_act, fmt_att = cfg.fmt_w, cfg.fmt_act, cfg.fmt_att
     mask_f = mask.astype(jnp.float32)
     K = cfg.num_hops
-    gq = (cfg.en_grad_quant and cfg.grad_quant_placement == "backward"
-          and cfg.en_fixed_point)
-    # dot_mat_vec family (score + weighted sum) quantization follows the
-    # layer's ATTENTION-MODE dispatch, not EN_FIXED_POINT — the reference
-    # fwd hardcodes f_fixed per mode (lib/layer.c:177-251: mode 1 passes
-    # false, mode 2 passes true, mode 3 passes the layer flag), and the
-    # mode-3 w_sum BACKWARD quantizes whenever the layer is fixed,
-    # independent of EN_GRAD_QUANT (cuda_dot_mat_vec_bwd_appx receives
-    # dot->f_fixed unconditionally, lib/layer.c:588-599).  Mode 4 has no
-    # live reference path; it keeps the layer flag.
-    wsum_q = {1: False, 2: True, 3: q, 4: q}[cfg.attention_mode]
-    wsum_gq = q if cfg.attention_mode == 3 else gq
+    # dot_mat_vec family quantization rules live in ONE place:
+    # QmannConfig's dispatch properties (see config.py's dispatch note)
+    gq = cfg.grad_quant_backward
+    wsum_q = cfg.wsum_quantized
+    wsum_gq = cfg.wsum_grad_quantized
 
     # the Pallas fused read covers the plain mode-1/2/3 hop chain; feature
     # heads (scale/maxout/cosine), softmax variants, linear-start, and the

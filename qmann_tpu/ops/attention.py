@@ -261,7 +261,10 @@ def attention_score(m: jax.Array, u: jax.Array, attention_mode: int,
     sit far from the Q-format bound at the reference dims."""
     from qmann_tpu.ops.qlinear import qscore
     if attention_mode == 1:
-        return qscore(m, u, fmt_att, fmt_bin, quantized=False)
+        # float forward; the backward still quantizes under EN_GRAD_QUANT
+        # when the layer is fixed (lib/layer.c:539-562)
+        return qscore(m, u, fmt_att, fmt_bin, quantized=False,
+                      grad_quantized=grad_quantized)
     if attention_mode == 2:
         return qscore(m, u, fmt_att, fmt_bin, quantized=True,
                       score_mod=score_mod, grad_quantized=grad_quantized)

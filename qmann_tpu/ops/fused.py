@@ -91,28 +91,12 @@ def _fused_bwd(fmt_att, fmt_bin, fmt_act, score_quantized, sum_quantized,
                sum_grad_quantized, res, cts):
     m, c, u, mask_f, p = res
     do, dp_in, ds_in = cts
-    if sum_grad_quantized:
-        # quantized weighted-sum backward (mode-3 f_fixed / EN_GRAD_QUANT
-        # — cuda_dot_mat_vec_bwd[_appx] f_trans f_fixed=true,
-        # lib/layer_cuda.cu:2590-2596, :2691-2704): identical to
-        # qlinear._qweighted_sum_bwd's quantized path
-        from qmann_tpu.numerics import float_quant
-        from qmann_tpu.ops.qlinear import _grad_out_fmt, _qproducts
-        fo = _grad_out_fmt(fmt_act)
-        dc = float_quant(
-            _qproducts(p[..., :, None], do[..., None, :], fmt_act, fmt_act,
-                       fmt_act), fo) * mask_f[..., :, None]
-        dp = float_quant(
-            jnp.sum(_qproducts(c, do[..., None, :], fmt_act, fmt_act,
-                               fmt_act), axis=-1), fo) * mask_f
-    else:
-        # qweighted_sum bwd (cuda_dot_mat_vec_bwd f_trans branch,
-        # lib/layer_cuda.cu:2584-2596)
-        pm = p * mask_f
-        dc = pm[..., :, None] * do[..., None, :]
-        dp = jnp.einsum("...md,...d->...m", c, do,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * mask_f
+    # weighted-sum backward: the ONE implementation of the reference
+    # rules (float / quantized-contraction branches) lives in
+    # qlinear._qweighted_sum_bwd — delegate rather than duplicate
+    from qmann_tpu.ops.qlinear import _qweighted_sum_bwd
+    dc, dp, _ = _qweighted_sum_bwd(fmt_act, sum_quantized,
+                                   sum_grad_quantized, (c, p, mask_f), do)
     dp = dp + dp_in
     # softmax bwd p*(g - sum(p*g)) (_cuda_softmax_bwd,
     # lib/layer_cuda.cu:2130-2147); padded entries have p == 0

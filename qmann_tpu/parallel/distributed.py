@@ -76,9 +76,11 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
         # each shard's quantized products without the output requant (exact
         # on the 2^-frac grid), pmax the raw row maxima over the memory
         # shards, then apply the single shift/clip + output quantization
-        # per shard — bit-identical to the single-device qscore(score_mod)
-        raw_l = qscore_partial_sum(m_l, u, fmt_att, cfg.fmt_bin,
-                                   cfg.en_fixed_point)
+        # per shard — bit-identical to the single-device qscore(score_mod).
+        # Mode-2 dot forwards are quantized REGARDLESS of EN_FIXED_POINT
+        # (f_fixed hardcoded true in the fwd dispatch, lib/layer.c:205),
+        # matching the dense path's qscore(quantized=True).
+        raw_l = qscore_partial_sum(m_l, u, fmt_att, cfg.fmt_bin, True)
         if score_mod == "shift":
             gmax = jax.lax.pmax(
                 jax.lax.stop_gradient(jnp.max(raw_l, axis=-1)), axis)
@@ -87,15 +89,15 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
             bound = fixed_max_float(fmt_att.iwl, fmt_att.frac) \
                 - 2.0 ** (-fmt_att.frac)
             raw_l = jnp.clip(raw_l, -bound, bound)
-        scores_l = quantize_ste(raw_l, fmt_att) if cfg.en_fixed_point \
-            else raw_l
+        scores_l = quantize_ste(raw_l, fmt_att)
     else:
         scores_l = attention_score(m_l, u, cfg.attention_mode, fmt_att,
                                    cfg.fmt_bin,
                                    num_bit=cfg.num_bits_attention,
                                    const_scale=cfg.attention_const_scale,
                                    hamming_weight_para=cfg.hamming_weight_para,
-                                   hamming_weighted=cfg.hamming_weighted)
+                                   hamming_weighted=cfg.hamming_weighted,
+                                   grad_quantized=cfg.grad_quant_backward)
     scores_l = jnp.where(mask_l, scores_l, _NEG_LARGE)
 
     # distributed softmax statistics: one max + one sum per row over ICI.
@@ -110,19 +112,14 @@ def _attention_read_local(m_l, c_l, u, mask_l, cfg: QmannConfig, hop: int,
     p_l = e / _vary(total, axis)[..., None]
 
     # weighted sum: local partials on the exact 2^-frac grid, psum,
-    # single global output re-quantization.  Forward quantization follows
-    # the layer's attention-mode dispatch (mode 1 float, mode 2 quantized
-    # — f_fixed hardcoded per mode in the reference fwd,
-    # lib/layer.c:177-251); the mode-3 BACKWARD quantizes whenever the
-    # layer is fixed (dot->f_fixed passed unconditionally,
-    # lib/layer.c:588-599) and is fully shard-local (see
-    # qweighted_partial_sum).
-    wsum_q = {1: False, 2: True}.get(cfg.attention_mode,
-                                     cfg.en_fixed_point)
-    wsum_gq = cfg.en_fixed_point and cfg.attention_mode == 3
+    # single global output re-quantization.  The per-mode quantization
+    # rules are QmannConfig's dot-family dispatch properties (one home,
+    # shared with models/memn2n._hop_stack); the quantized backward is
+    # fully shard-local (see qweighted_partial_sum).
+    wsum_q = cfg.wsum_quantized
     partial = qweighted_partial_sum(c_l, p_l,
                                     mask_l.astype(jnp.float32), fmt_act,
-                                    wsum_q, wsum_gq)
+                                    wsum_q, cfg.wsum_grad_quantized)
     o = jax.lax.psum(partial, axis)
     if wsum_q:
         o = quantize_ste(o, fmt_act)

@@ -104,6 +104,27 @@ def test_mode3_grads_independent_of_en_grad_quant(rng):
     assert any(not np.array_equal(g2[k], g3[k]) for k in g2)
 
 
+def test_mode1_en_grad_quant_reaches_score_backward(rng):
+    """Mode-1 layers run FLOAT forwards, but under EN_GRAD_QUANT with the
+    layer fixed their score/weighted-sum backwards quantize
+    (lib/layer.c:539-575 threads dot->f_fixed for modes 1 and 2) — the
+    flag must survive the attention_score dispatch."""
+    dims = fake_dims()
+    mem, que, ans, mask = fake_batch(rng)
+    cfg = tiny_cfg(attention_mode=1)   # en_fixed_point default True
+
+    def grads(c):
+        params = memn2n.init_params(c, dims, jax.random.PRNGKey(0))
+        def loss(p):
+            l, _ = memn2n.loss_and_metrics(p, mem, que, ans, mask, None, c)
+            return l
+        return {k: np.asarray(v) for k, v in jax.grad(loss)(params).items()}
+
+    g0 = grads(cfg)
+    g1 = grads(cfg.replace(en_grad_quant=True))
+    assert any(not np.array_equal(g0[k], g1[k]) for k in g0)
+
+
 def test_mode1_wsum_runs_float_forward(rng):
     """Mode-1 dot_mat_vec layers (score AND weighted sum) run FLOAT
     forwards regardless of EN_FIXED_POINT — the reference fwd dispatch

@@ -102,10 +102,13 @@ def test_fused_attention_read_mode3_matches_composition(rng):
     np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref))
 
 
-def test_fused_attention_read_mode3_gradients_match_surrogate(rng):
+@pytest.mark.parametrize("sum_gq", [False, True])
+def test_fused_attention_read_mode3_gradients_match_surrogate(rng, sum_gq):
     """Mode-3 fused read VJP must equal the unfused chain's gradients —
-    i.e. the reference's hand-crafted Hamming surrogate through the
-    softmax/weighted-sum backward."""
+    the reference's hand-crafted Hamming surrogate through the softmax
+    backward, with the weighted-sum backward in BOTH branches: float and
+    the quantized contractions (sum_grad_quantized — what the model
+    passes for fixed-point mode 3)."""
     import jax
     from qmann_tpu.ops.fused import fused_attention_read
     fmt = QFormat(2, 5)
@@ -124,13 +127,15 @@ def test_fused_attention_read_mode3_gradients_match_surrogate(rng):
     def f_fused(m_, c_, u_):
         o, _, _ = fused_attention_read(m_, c_, u_, mask_f, fmt, fmt, fmt,
                                        interpret=True, attention_mode=3,
-                                       ham_num_bit=8)
+                                       ham_num_bit=8,
+                                       sum_grad_quantized=sum_gq)
         return jnp.sum(o * g)
 
     def f_ref(m_, c_, u_):
         scores = hamming_score(m_, u_, fmt.iwl, 8)
         p = softmax(scores, jnp.asarray(mask))
-        o = qweighted_sum(c_, p, mask_f, fmt, quantized=True)
+        o = qweighted_sum(c_, p, mask_f, fmt, quantized=True,
+                          grad_quantized=sum_gq)
         return jnp.sum(o * g)
 
     got = jax.grad(f_fused, argnums=(0, 1, 2))(m, c, u)
